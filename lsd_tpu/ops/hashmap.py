@@ -1,0 +1,175 @@
+"""Fixed-capacity voxel hash map — the LIO local map.
+
+TPU-native replacement for the reference's incremental kNN structures
+(slam/mapping/fastlio/ikd-Tree/ikd_Tree.cpp and ivox3d/ivox3d.h).  An
+ikd-tree is pointer-chasing and unportable to XLA; instead we keep an
+open-addressed hash table of voxels, each holding up to K map points, as a
+structure-of-arrays PyTree.  All operations are static-shape, functional
+(return a new map), and jit/vmap-friendly:
+
+- ``hashmap_insert``  — batch insert a (masked) downsampled scan
+- ``hashmap_knn``     — for each query point, gather candidates from the
+                        3x3x3 neighbor voxels and return the k nearest
+- ``hashmap_trim``    — drop voxels outside a box around the sensor
+                        (ref: lasermap_fov_segment, laserMapping.cpp:242-286)
+
+Collision policy: linear probing over NUM_PROBES slots; batch slot
+allocation races are resolved with scatter-min rounds.  Voxels whose point
+buffer is full reject further points (FAST-LIO similarly suppresses map
+growth in dense voxels via its downsampling box check).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NUM_PROBES = 8
+_P1, _P2, _P3 = 73856093, 19349669, 83492791  # standard spatial-hash primes
+
+
+class VoxelHashMap(NamedTuple):
+    keys: jax.Array      # (C,) int32 hash key, -1 = empty
+    coords: jax.Array    # (C, 3) int32 voxel integer coords
+    points: jax.Array    # (C, K, 3) f32 stored points (map frame)
+    counts: jax.Array    # (C,) int32 valid points per voxel
+    voxel_size: jax.Array  # () f32
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def points_per_voxel(self) -> int:
+        return self.points.shape[1]
+
+
+def hashmap_create(capacity: int = 2 ** 17, points_per_voxel: int = 8,
+                   voxel_size: float = 0.5) -> VoxelHashMap:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    return VoxelHashMap(
+        keys=jnp.full((capacity,), -1, jnp.int32),
+        coords=jnp.zeros((capacity, 3), jnp.int32),
+        points=jnp.zeros((capacity, points_per_voxel, 3), jnp.float32),
+        counts=jnp.zeros((capacity,), jnp.int32),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+    )
+
+
+def _hash(coords: jax.Array, capacity: int) -> jax.Array:
+    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
+    return jnp.abs(h) & (capacity - 1)
+
+
+def _probe_find(m: VoxelHashMap, coords: jax.Array) -> jax.Array:
+    """Find existing slot for voxel coords (..., 3); -1 if absent."""
+    cap = m.capacity
+    h0 = _hash(coords, cap)
+    found = jnp.full(h0.shape, -1, jnp.int32)
+    for p in range(NUM_PROBES):
+        slot = (h0 + p) & (cap - 1)
+        match = (m.keys[slot] >= 0) & jnp.all(m.coords[slot] == coords, axis=-1)
+        found = jnp.where((found < 0) & match, slot, found)
+    return found
+
+
+@jax.jit
+def hashmap_insert(m: VoxelHashMap, points: jax.Array, mask: jax.Array) -> VoxelHashMap:
+    """Insert masked points (N, 3) into the map."""
+    n = points.shape[0]
+    cap = m.capacity
+    K = m.points_per_voxel
+    coords = jnp.floor(points / m.voxel_size).astype(jnp.int32)
+    key = (_hash(coords, 1 << 30)).astype(jnp.int32)  # content key (non-slot)
+
+    # --- sort by voxel, find unique representatives ---
+    sort_key = jnp.where(mask, (coords[:, 0] * 2048 + coords[:, 1]) * 2048 + coords[:, 2],
+                         jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(sort_key)
+    coords_s, pts_s, mask_s = coords[order], points[order], mask[order]
+    sk_s = sort_key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk_s[1:] != sk_s[:-1]]) & mask_s
+    uid = jnp.cumsum(first) - 1                      # unique voxel id per point
+    rank = jnp.arange(n) - jnp.maximum(jax.lax.cummax(jnp.where(first, jnp.arange(n), -1)), 0)
+
+    # --- allocate/find a slot per unique voxel (race-free via scatter-min rounds) ---
+    h0 = _hash(coords_s, cap)
+    slot = jnp.full((n,), -1, jnp.int32)
+    keys = m.keys
+    coords_tbl = m.coords
+    claim_tbl = jnp.full((cap,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for p in range(NUM_PROBES):
+        cand = (h0 + p) & (cap - 1)
+        need = first & (slot < 0)
+        occupied = keys[cand] >= 0
+        match = occupied & jnp.all(coords_tbl[cand] == coords_s, axis=-1)
+        slot = jnp.where(need & match, cand, slot)
+        # try to claim empty candidate slots; min point-index wins
+        want = need & ~occupied & ~match
+        claim_tbl = claim_tbl.at[jnp.where(want, cand, cap - 1)].min(
+            jnp.where(want, jnp.arange(n), jnp.iinfo(jnp.int32).max))
+        won = want & (claim_tbl[cand] == jnp.arange(n))
+        slot = jnp.where(won, cand, slot)
+        keys = keys.at[jnp.where(won, cand, cap)].set(  # mark claimed (oob write dropped)
+            jnp.where(won, key[order] | jnp.int32(1 << 30), 0), mode="drop")
+        coords_tbl = coords_tbl.at[jnp.where(won, cand, cap)].set(coords_s, mode="drop")
+        # NOTE: stale claim_tbl entries can only refer to slots that just
+        # became occupied (every claimed empty slot gets exactly one winner,
+        # which marks it in `keys`), so no reset between rounds is needed.
+
+    # broadcast unique-representative slot to all points of the voxel
+    rep_slot = jax.ops.segment_max(jnp.where(first, slot, -1), uid, num_segments=n)
+    pslot = rep_slot[uid]
+    ok = mask_s & (pslot >= 0)
+
+    # --- append points, bounded by per-voxel capacity K ---
+    base = m.counts[jnp.maximum(pslot, 0)]
+    pos = base + rank
+    ok = ok & (pos < K)
+    flat = jnp.where(ok, pslot * K + pos, cap * K)
+    new_pts = m.points.reshape(cap * K, 3)
+    new_pts = new_pts.at[flat].set(pts_s, mode="drop").reshape(cap, K, 3)
+    added = jax.ops.segment_sum(ok.astype(jnp.int32), jnp.where(ok, pslot, cap),
+                                num_segments=cap + 1)[:cap]
+    return m._replace(keys=keys, coords=coords_tbl, points=new_pts,
+                      counts=m.counts + added)
+
+
+@jax.jit
+def hashmap_trim(m: VoxelHashMap, center: jax.Array, radius: float) -> VoxelHashMap:
+    """Free voxels outside an axis-aligned box of half-width ``radius``."""
+    vc = (m.coords.astype(jnp.float32) + 0.5) * m.voxel_size
+    keep = jnp.all(jnp.abs(vc - center) <= radius, axis=-1) & (m.keys >= 0)
+    return m._replace(keys=jnp.where(keep, m.keys, -1),
+                      counts=jnp.where(keep, m.counts, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def hashmap_knn(m: VoxelHashMap, queries: jax.Array, qmask: jax.Array, k: int = 5
+                ) -> Tuple[jax.Array, jax.Array]:
+    """k nearest map points for each query (N, 3) from the 27-voxel
+    neighborhood.  Returns (neighbors (N, k, 3), valid (N, k))."""
+    n = queries.shape[0]
+    K = m.points_per_voxel
+    base = jnp.floor(queries / m.voxel_size).astype(jnp.int32)
+
+    offsets = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
+                        axis=-1).reshape(27, 3)
+    ncoords = base[:, None, :] + offsets[None, :, :]             # (N, 27, 3)
+    slots = _probe_find(m, ncoords)                               # (N, 27)
+    valid_slot = slots >= 0
+    sl = jnp.maximum(slots, 0)
+    cand = m.points[sl]                                          # (N, 27, K, 3)
+    ccnt = m.counts[sl]                                          # (N, 27)
+    cmask = (jnp.arange(K)[None, None, :] < ccnt[:, :, None]) & valid_slot[:, :, None]
+
+    cand = cand.reshape(n, 27 * K, 3)
+    cmask = cmask.reshape(n, 27 * K)
+    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cmask, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)                              # (N, k)
+    nbrs = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
+    valid = jnp.isfinite(-neg) & qmask[:, None]
+    return nbrs, valid
