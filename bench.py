@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: LIO scans/s on one TPU chip.
+
+Runs the full jit-compiled ESIKF LIO scan step (IMU propagation +
+undistortion + downsample + 3 iterated kNN/plane-fit/KF updates + map
+insert) on synthetic 32k-point scans and reports steady-state throughput.
+
+Baseline: the reference's FAST-LIO2 C++ stack processes comparable scans at
+roughly 50 scans/s on a desktop CPU (FAST-LIO2 paper reports ~20 ms/scan;
+the reference itself publishes no scans/s — see BASELINE.md).
+``vs_baseline`` is measured scans/s divided by that 50 scans/s estimate;
+BASELINE.json's round target is >= 2x.
+
+Prints exactly one JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lsd_tpu.sim import CircleSim, SimConfig
+    from lsd_tpu.slam import LioConfig, lio_init, lio_step
+    from lsd_tpu.slam.state import init_state
+    from lsd_tpu.geometry import so3
+
+    CAP = 2 ** 15          # 32k points/scan (128-beam class)
+    N_WARM, N_BENCH = 5, 40
+
+    sim = CircleSim(SimConfig(n_scans=N_WARM + N_BENCH, points_per_scan=CAP,
+                              point_noise=0.01, seed=7))
+    data = sim.generate(capacity=CAP, imu_capacity=16)
+
+    R, p = sim.pose(0.0)
+    nav0 = init_state()._replace(
+        pos=jnp.asarray(p, jnp.float32),
+        quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+        vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+    cfg = LioConfig(ds_capacity=8192, map_capacity=2 ** 17,
+                    scan_voxel=0.5, map_voxel=0.5)
+    st = lio_init(cfg, nav0)
+
+    dev_data = [tuple(jax.device_put(jnp.asarray(a)) for a in d[:5]) + (d[5],)
+                for d in data]
+
+    # warmup (compile + first device->host fetch, which pays the transport
+    # session-establishment cost on tunneled TPU setups)
+    for (P_, S_, M_, I_, IM_, _) in dev_data[:N_WARM]:
+        st, info = lio_step(cfg, st, P_, S_, M_, I_, IM_)
+    np.asarray(st.nav.pos)
+
+    t0 = time.perf_counter()
+    poses = []
+    for (P_, S_, M_, I_, IM_, T_gt) in dev_data[N_WARM:]:
+        st, info = lio_step(cfg, st, P_, S_, M_, I_, IM_)
+        poses.append(st.nav.pos)
+    jax.block_until_ready(poses[-1])
+    dt = time.perf_counter() - t0
+
+    errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
+            for p, d in zip(poses, dev_data[N_WARM:])]
+    scans_per_sec = N_BENCH / dt
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    ref_scans_per_sec = 50.0
+    print(json.dumps({
+        "metric": "lio_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s (32k-pt scans, 1 chip)",
+        "vs_baseline": round(scans_per_sec / ref_scans_per_sec, 3),
+        "ate_rmse_m": round(ate, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

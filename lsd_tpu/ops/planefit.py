@@ -28,15 +28,20 @@ def fit_planes(neighbors: jax.Array, valid: jax.Array, inlier_thresh: float = 0.
     # Solve (A^T W A) n = -A^T W 1   (FAST-LIO solves A n = -1 via QR)
     AtA = jnp.einsum("nki,nkj,nk->nij", neighbors, neighbors, w)
     Atb = -jnp.einsum("nki,nk->ni", neighbors, w)
-    AtA = AtA + 1e-6 * jnp.eye(3, dtype=neighbors.dtype)
+    AtA = AtA + 1e-4 * jnp.eye(3, dtype=neighbors.dtype)
     n_raw = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]       # plane: n_raw.x + 1 = 0
+    # f32 + near-singular systems can overflow to inf/nan: sanitize hard.
+    finite = jnp.all(jnp.isfinite(n_raw), axis=-1)
+    n_raw = jnp.where(finite[..., None], n_raw, 0.0)
     norm = jnp.linalg.norm(n_raw, axis=-1)
     normals = n_raw / jnp.maximum(norm, 1e-9)[..., None]
-    d = 1.0 / jnp.maximum(norm, 1e-9)
+    d = jnp.where(norm > 1e-9, 1.0 / jnp.maximum(norm, 1e-9), 0.0)
 
     resid = jnp.abs(jnp.einsum("nki,ni->nk", neighbors, normals) + d[:, None])
-    ok = (jnp.sum(valid, axis=-1) >= 3) & (norm > 1e-6) & \
+    ok = (jnp.sum(valid, axis=-1) >= 3) & finite & (norm > 1e-6) & \
          jnp.all(jnp.where(valid, resid <= inlier_thresh, True), axis=-1)
+    normals = jnp.where(ok[..., None], normals, 0.0)
+    d = jnp.where(ok, d, 0.0)
     return normals, d, ok
 
 

@@ -1,0 +1,226 @@
+"""Tightly-coupled LiDAR-inertial odometry: iterated error-state Kalman
+filter on the 24-dim manifold state.
+
+Re-derivation (not a port) of FAST-LIO2's update loop (reference:
+slam/mapping/fastlio/src/laserMapping.cpp:813-983 h_share_model +
+esekfom.hpp update_iterated_dyn_share_modified) as one jit-compiled
+scan-step:
+
+  propagate IMU -> undistort scan -> voxel-downsample -> iterate:
+      kNN from voxel hash map -> plane fit -> point-to-plane residual
+      + Jacobian -> MAP Gauss-Newton step with degeneracy eigen-gating
+      (ref laserMapping.cpp:934-983) and optional wheelspeed/INS velocity
+      observation (ref :794-812)
+  -> covariance update -> insert scan into map -> recenter/trim map.
+
+Everything is static-shape; points carry masks.  The whole step is a single
+XLA program per (scan capacity) bucket — the HtH/Htr reductions are
+(N x 24) matmuls that run on the MXU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops.hashmap import VoxelHashMap, hashmap_create, hashmap_insert, hashmap_knn, hashmap_trim
+from ..ops.planefit import fit_planes
+from ..ops.voxelize import voxel_downsample
+from .imu import ImuNoise, propagate, undistort
+from .state import (ERR_DIM, GRAVITY, IDX_V, NavState, boxminus, boxplus,
+                    init_state)
+
+
+class LioConfig(NamedTuple):
+    # scan processing
+    scan_voxel: float = 0.5          # downsample leaf for residual points (filter_size_surf)
+    ds_capacity: int = 8192          # residual point budget
+    # map
+    map_capacity: int = 2 ** 17
+    map_points_per_voxel: int = 8
+    map_voxel: float = 0.5           # filter_size_map
+    map_radius: float = 300.0        # local map half-extent (cube_side/2)
+    recenter_thresh: float = 60.0    # trim when moved this far from map center
+    # filter
+    max_iters: int = 3
+    meas_noise: float = 0.05         # point-to-plane sigma (m)
+    vel_noise: float = 0.2           # wheelspeed/INS velocity sigma (m/s)
+    plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
+    max_resid: float = 1.0           # residual gate (m)
+    degen_thresh: float = 10.0       # eigenvalue gate on HtH pose block
+    est_extrinsic: bool = False
+    est_gravity: bool = False
+    imu_noise: ImuNoise = ImuNoise()
+    acc_scale: float = GRAVITY       # converts accel units to m/s^2
+
+
+class LioState(NamedTuple):
+    nav: NavState
+    P: jax.Array              # (24, 24)
+    map: VoxelHashMap
+    map_center: jax.Array     # (3,)
+    initialized: jax.Array    # () bool — map seeded
+    step_count: jax.Array     # () int32
+
+
+def lio_init(cfg: LioConfig, nav: Optional[NavState] = None) -> LioState:
+    P = jnp.eye(ERR_DIM, dtype=jnp.float32) * 1e-4
+    P = P.at[9:15, 9:15].set(jnp.eye(6) * 1e-3)   # bias uncertainty
+    P = P.at[15:18, 15:18].set(jnp.eye(3) * 1e-2)  # gravity
+    return LioState(
+        nav=nav if nav is not None else init_state(),
+        P=P,
+        map=hashmap_create(cfg.map_capacity, cfg.map_points_per_voxel, cfg.map_voxel),
+        map_center=jnp.zeros(3, jnp.float32),
+        initialized=jnp.asarray(False),
+        step_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _update_mask(cfg: LioConfig) -> jnp.ndarray:
+    m = jnp.ones((ERR_DIM,), jnp.float32)
+    if not cfg.est_gravity:
+        m = m.at[15:18].set(0.0)
+    if not cfg.est_extrinsic:
+        m = m.at[18:24].set(0.0)
+    return m
+
+
+def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
+                        mask: jax.Array, m: VoxelHashMap):
+    """Residuals + Jacobian rows for point-to-plane matching at state nav."""
+    R = nav.rot
+    Re = nav.ext_rot
+    pb = pts_l @ Re.T + nav.ext_t                 # body (IMU) frame
+    pw = pb @ R.T + nav.pos                       # world
+
+    nbrs, nvalid = hashmap_knn(m, pw, mask, k=5)
+    normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
+    r = jnp.einsum("ni,ni->n", pw, normals) + d
+
+    # FAST-LIO validity gate: s = 1 - 0.9 |r| / sqrt(|p_l|)
+    pnorm = jnp.linalg.norm(pts_l, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(r) / jnp.sqrt(jnp.maximum(pnorm, 1e-3))
+    valid = mask & plane_ok & (s > 0.9) & (jnp.abs(r) < cfg.max_resid)
+
+    nR = normals @ R                               # n^T R, (N, 3)
+    H = jnp.zeros((pts_l.shape[0], ERR_DIM), pts_l.dtype)
+    H = H.at[:, 0:3].set(normals)                                  # d r / d p
+    H = H.at[:, 3:6].set(-jnp.cross(nR, pb))                       # n^T R (-[pb]x) = -(n^T R) x pb
+    if cfg.est_extrinsic:
+        nRRe = nR @ Re
+        H = H.at[:, 18:21].set(-jnp.cross(nRRe, pts_l))            # d r / d theta_ext
+        H = H.at[:, 21:24].set(nR)                                 # d r / d t_ext
+    # zero invalid rows so NaN/inf from degenerate fits can't leak through
+    # the masked matmuls (NaN * 0 = NaN)
+    finite = jnp.isfinite(r) & jnp.all(jnp.isfinite(H), axis=-1)
+    valid = valid & finite
+    H = jnp.where(valid[:, None], H, 0.0)
+    r = jnp.where(valid, r, 0.0)
+    return H, r, valid
+
+
+def _gate_degenerate(cfg: LioConfig, HtH: jax.Array):
+    """Projection removing measurement influence along degenerate pose
+    directions (eigenvalues of the 6x6 pose block below threshold)."""
+    A = HtH[0:6, 0:6]
+    lam, V = jnp.linalg.eigh(A)
+    keep = (lam >= cfg.degen_thresh).astype(A.dtype)
+    Pi = (V * keep[None, :]) @ V.T
+    E = jnp.eye(ERR_DIM, dtype=A.dtype).at[0:6, 0:6].set(Pi)
+    n_degenerate = jnp.sum(1.0 - keep).astype(jnp.int32)
+    return E, n_degenerate
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lio_step(cfg: LioConfig, st: LioState,
+             points: jax.Array, stamps: jax.Array, mask: jax.Array,
+             imu: jax.Array, imu_mask: jax.Array,
+             vel_obs: Optional[jax.Array] = None,
+             vel_obs_valid: Optional[jax.Array] = None) -> Tuple[LioState, dict]:
+    """Process one scan. points (N,3) lidar frame; stamps (N,) sec from scan
+    start; imu (M,7) [t_sec_rel, gyro, accel].  Returns (state, info)."""
+    if vel_obs is None:
+        vel_obs = jnp.zeros(3, jnp.float32)
+    if vel_obs_valid is None:
+        vel_obs_valid = jnp.asarray(False)
+
+    # ---- IMU propagation + undistortion -------------------------------
+    nav_prop, P_prop, track = propagate(st.nav, st.P, imu, imu_mask,
+                                        cfg.imu_noise, cfg.acc_scale)
+    pts_und = undistort(points[:, :3], stamps, mask, nav_prop, track)
+
+    # ---- residual-point downsample ------------------------------------
+    ds_pts, ds_mask = voxel_downsample(pts_und, mask, cfg.scan_voxel, cfg.ds_capacity)
+    ds_pts = ds_pts[:, :3]
+
+    upd_mask = _update_mask(cfg)
+    P_inv = jnp.linalg.inv(P_prop + 1e-9 * jnp.eye(ERR_DIM))
+    inv_r = 1.0 / (cfg.meas_noise ** 2)
+    inv_v = 1.0 / (cfg.vel_noise ** 2)
+
+    def iterate(i, nav_i):
+        H, r, valid = _measurement_system(cfg, nav_i, ds_pts, ds_mask, st.map)
+        w = valid.astype(ds_pts.dtype)
+        Hw = H * (w * inv_r)[:, None]
+        HtH = H.T @ Hw
+        Htr = Hw.T @ r
+        E, _ = _gate_degenerate(cfg, HtH)
+        HtH = E @ HtH @ E.T
+        Htr = E @ Htr
+        # velocity observation (wheelspeed / INS)
+        vw = jnp.where(vel_obs_valid, inv_v, 0.0)
+        HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw)
+        Htr = Htr.at[IDX_V].add(vw * (nav_i.vel - vel_obs))
+
+        delta = boxminus(nav_i, nav_prop)
+        A = HtH + P_inv
+        b = Htr + P_inv @ delta
+        dx = -jnp.linalg.solve(A, b) * upd_mask
+        return boxplus(nav_i, dx)
+
+    nav_new = jax.lax.fori_loop(0, cfg.max_iters, iterate, nav_prop)
+
+    # ---- covariance update at converged state -------------------------
+    H, r, valid = _measurement_system(cfg, nav_new, ds_pts, ds_mask, st.map)
+    w = valid.astype(ds_pts.dtype)
+    Hw = H * (w * inv_r)[:, None]
+    HtH = H.T @ Hw
+    E, n_degen = _gate_degenerate(cfg, HtH)
+    HtH = E @ HtH @ E.T
+    vw = jnp.where(vel_obs_valid, inv_v, 0.0)
+    HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw)
+    P_new = jnp.linalg.inv(HtH + P_inv)
+    P_new = 0.5 * (P_new + P_new.T)
+
+    # If the map is not yet seeded, keep the propagated state (first scan).
+    nav_new = jax.tree.map(lambda a, b: jnp.where(st.initialized, a, b), nav_new, nav_prop)
+    P_new = jnp.where(st.initialized, P_new, P_prop)
+
+    # ---- map update ----------------------------------------------------
+    ins_pts, ins_mask = voxel_downsample(pts_und, mask, cfg.map_voxel, cfg.ds_capacity)
+    R = nav_new.rot
+    Re = nav_new.ext_rot
+    ins_w = (ins_pts[:, :3] @ Re.T + nav_new.ext_t) @ R.T + nav_new.pos
+    new_map = hashmap_insert(st.map, ins_w, ins_mask)
+
+    moved = jnp.linalg.norm(nav_new.pos - st.map_center) > cfg.recenter_thresh
+    new_map = jax.lax.cond(
+        moved, lambda mm: hashmap_trim(mm, nav_new.pos, cfg.map_radius),
+        lambda mm: mm, new_map)
+    new_center = jnp.where(moved, nav_new.pos, st.map_center)
+
+    info = dict(
+        num_valid=jnp.sum(valid.astype(jnp.int32)),
+        num_points=jnp.sum(ds_mask.astype(jnp.int32)),
+        mean_residual=jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0),
+        n_degenerate=n_degen,
+        pose=nav_new.pose_matrix(),
+    )
+    new_st = LioState(nav=nav_new, P=P_new, map=new_map, map_center=new_center,
+                      initialized=jnp.asarray(True),
+                      step_count=st.step_count + 1)
+    return new_st, info
