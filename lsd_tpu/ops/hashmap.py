@@ -9,14 +9,19 @@ structure-of-arrays PyTree.  All operations are static-shape, functional
 
 - ``hashmap_insert``  — batch insert a (masked) downsampled scan
 - ``hashmap_knn``     — for each query point, gather candidates from the
-                        3x3x3 neighbor voxels and return the k nearest
+                        neighbor voxels and return the k nearest
 - ``hashmap_trim``    — drop voxels outside a box around the sensor
                         (ref: lasermap_fov_segment, laserMapping.cpp:242-286)
 
-Collision policy: linear probing over NUM_PROBES slots; batch slot
-allocation races are resolved with scatter-min rounds.  Voxels whose point
-buffer is full reject further points (FAST-LIO similarly suppresses map
-growth in dense voxels via its downsampling box check).
+Design notes (performance):
+- Slot index and stored content key use *independent* hashes, so probing
+  needs a single int32 gather+compare per probe round instead of a 3-wide
+  coords comparison.  A false voxel identity needs a simultaneous
+  collision of both 30-bit hashes within one probe window (~2^-30/pair) —
+  harmless for mapping (two far-apart voxels would pool points).
+- Batch slot allocation races are resolved with scatter-min claim rounds.
+- Voxels whose K-point buffer is full reject further points (FAST-LIO
+  similarly stops map growth inside dense voxels).
 """
 from __future__ import annotations
 
@@ -27,12 +32,36 @@ import jax
 import jax.numpy as jnp
 
 NUM_PROBES = 8
-_P1, _P2, _P3 = 73856093, 19349669, 83492791  # standard spatial-hash primes
+import numpy as np
+
+
+def _fmix32(h: jax.Array) -> jax.Array:
+    """murmur3 finalizer (uint32) — strong avalanche, vectorizes on the VPU."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_coords(coords: jax.Array, seed: int) -> jax.Array:
+    """Mix integer voxel coords (..., 3) into a well-distributed uint32.
+
+    A plain XOR-of-prime-products spatial hash collides exactly for
+    sign-symmetric coords (two's-complement negation ~ bitwise NOT under
+    XOR), which real point clouds hit constantly — hence the murmur chain.
+    """
+    c = coords.astype(jnp.uint32)
+    h = _fmix32(c[..., 0] ^ jnp.uint32(seed))
+    h = _fmix32(h ^ c[..., 1])
+    h = _fmix32(h ^ c[..., 2])
+    return h
 
 
 class VoxelHashMap(NamedTuple):
-    keys: jax.Array      # (C,) int32 hash key, -1 = empty
-    coords: jax.Array    # (C, 3) int32 voxel integer coords
+    keys: jax.Array      # (C,) int32 content key, -1 = empty
+    coords: jax.Array    # (C, 3) int32 voxel integer coords (for trim/export)
     points: jax.Array    # (C, K, 3) f32 stored points (map frame)
     counts: jax.Array    # (C,) int32 valid points per voxel
     voxel_size: jax.Array  # () f32
@@ -58,19 +87,23 @@ def hashmap_create(capacity: int = 2 ** 17, points_per_voxel: int = 8,
     )
 
 
-def _hash(coords: jax.Array, capacity: int) -> jax.Array:
-    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
-    return jnp.abs(h) & (capacity - 1)
+def _slot_hash(coords: jax.Array, capacity: int) -> jax.Array:
+    return (_hash_coords(coords, 0x9E3779B9) & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
-def _probe_find(m: VoxelHashMap, coords: jax.Array) -> jax.Array:
+def _content_key(coords: jax.Array) -> jax.Array:
+    # non-negative int32; -1 stays "empty"
+    return (_hash_coords(coords, 0x85EBCA77) & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
+
+
+def _probe_find(keys: jax.Array, coords: jax.Array, capacity: int) -> jax.Array:
     """Find existing slot for voxel coords (..., 3); -1 if absent."""
-    cap = m.capacity
-    h0 = _hash(coords, cap)
+    h0 = _slot_hash(coords, capacity)
+    ck = _content_key(coords)
     found = jnp.full(h0.shape, -1, jnp.int32)
     for p in range(NUM_PROBES):
-        slot = (h0 + p) & (cap - 1)
-        match = (m.keys[slot] >= 0) & jnp.all(m.coords[slot] == coords, axis=-1)
+        slot = (h0 + p) & (capacity - 1)
+        match = keys[slot] == ck
         found = jnp.where((found < 0) & match, slot, found)
     return found
 
@@ -82,20 +115,21 @@ def hashmap_insert(m: VoxelHashMap, points: jax.Array, mask: jax.Array) -> Voxel
     cap = m.capacity
     K = m.points_per_voxel
     coords = jnp.floor(points / m.voxel_size).astype(jnp.int32)
-    key = (_hash(coords, 1 << 30)).astype(jnp.int32)  # content key (non-slot)
+    ck = _content_key(coords)
 
     # --- sort by voxel, find unique representatives ---
     sort_key = jnp.where(mask, (coords[:, 0] * 2048 + coords[:, 1]) * 2048 + coords[:, 2],
                          jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(sort_key)
     coords_s, pts_s, mask_s = coords[order], points[order], mask[order]
+    ck_s = ck[order]
     sk_s = sort_key[order]
     first = jnp.concatenate([jnp.ones((1,), bool), sk_s[1:] != sk_s[:-1]]) & mask_s
     uid = jnp.cumsum(first) - 1                      # unique voxel id per point
     rank = jnp.arange(n) - jnp.maximum(jax.lax.cummax(jnp.where(first, jnp.arange(n), -1)), 0)
 
-    # --- allocate/find a slot per unique voxel (race-free via scatter-min rounds) ---
-    h0 = _hash(coords_s, cap)
+    # --- allocate/find a slot per unique voxel (race-free via scatter-min) ---
+    h0 = _slot_hash(coords_s, cap)
     slot = jnp.full((n,), -1, jnp.int32)
     keys = m.keys
     coords_tbl = m.coords
@@ -103,21 +137,20 @@ def hashmap_insert(m: VoxelHashMap, points: jax.Array, mask: jax.Array) -> Voxel
     for p in range(NUM_PROBES):
         cand = (h0 + p) & (cap - 1)
         need = first & (slot < 0)
-        occupied = keys[cand] >= 0
-        match = occupied & jnp.all(coords_tbl[cand] == coords_s, axis=-1)
+        existing = keys[cand]
+        match = existing == ck_s
         slot = jnp.where(need & match, cand, slot)
-        # try to claim empty candidate slots; min point-index wins
-        want = need & ~occupied & ~match
+        # claim empty candidate slots; min point-index wins the race
+        want = need & (existing < 0)
         claim_tbl = claim_tbl.at[jnp.where(want, cand, cap - 1)].min(
             jnp.where(want, jnp.arange(n), jnp.iinfo(jnp.int32).max))
         won = want & (claim_tbl[cand] == jnp.arange(n))
         slot = jnp.where(won, cand, slot)
-        keys = keys.at[jnp.where(won, cand, cap)].set(  # mark claimed (oob write dropped)
-            jnp.where(won, key[order] | jnp.int32(1 << 30), 0), mode="drop")
+        keys = keys.at[jnp.where(won, cand, cap)].set(ck_s, mode="drop")
         coords_tbl = coords_tbl.at[jnp.where(won, cand, cap)].set(coords_s, mode="drop")
-        # NOTE: stale claim_tbl entries can only refer to slots that just
-        # became occupied (every claimed empty slot gets exactly one winner,
-        # which marks it in `keys`), so no reset between rounds is needed.
+        # stale claim_tbl entries only refer to slots that just became
+        # occupied (every claimed empty slot gets exactly one winner), so no
+        # reset between rounds is needed.
 
     # broadcast unique-representative slot to all points of the voxel
     rep_slot = jax.ops.segment_max(jnp.where(first, slot, -1), uid, num_segments=n)
@@ -146,27 +179,40 @@ def hashmap_trim(m: VoxelHashMap, center: jax.Array, radius: float) -> VoxelHash
                       counts=jnp.where(keep, m.counts, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def hashmap_knn(m: VoxelHashMap, queries: jax.Array, qmask: jax.Array, k: int = 5
-                ) -> Tuple[jax.Array, jax.Array]:
-    """k nearest map points for each query (N, 3) from the 27-voxel
-    neighborhood.  Returns (neighbors (N, k, 3), valid (N, k))."""
+def _neighbor_offsets(neighborhood: int) -> jnp.ndarray:
+    full = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
+    if neighborhood == 27:
+        offs = full
+    elif neighborhood == 19:   # center + 6 faces + 12 edges (no corners)
+        offs = [o for o in full if abs(o[0]) + abs(o[1]) + abs(o[2]) <= 2]
+    elif neighborhood == 7:    # center + 6 faces
+        offs = [o for o in full if abs(o[0]) + abs(o[1]) + abs(o[2]) <= 1]
+    else:
+        raise ValueError(f"neighborhood must be 7, 19 or 27, got {neighborhood}")
+    return jnp.asarray(offs, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "neighborhood"))
+def hashmap_knn(m: VoxelHashMap, queries: jax.Array, qmask: jax.Array, k: int = 5,
+                neighborhood: int = 19) -> Tuple[jax.Array, jax.Array]:
+    """k nearest map points for each query (N, 3) from the neighbor voxels.
+    Returns (neighbors (N, k, 3), valid (N, k))."""
     n = queries.shape[0]
     K = m.points_per_voxel
     base = jnp.floor(queries / m.voxel_size).astype(jnp.int32)
 
-    offsets = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
-                        axis=-1).reshape(27, 3)
-    ncoords = base[:, None, :] + offsets[None, :, :]             # (N, 27, 3)
-    slots = _probe_find(m, ncoords)                               # (N, 27)
+    offsets = _neighbor_offsets(neighborhood)
+    nb = offsets.shape[0]
+    ncoords = base[:, None, :] + offsets[None, :, :]             # (N, nb, 3)
+    slots = _probe_find(m.keys, ncoords, m.capacity)             # (N, nb)
     valid_slot = slots >= 0
     sl = jnp.maximum(slots, 0)
-    cand = m.points[sl]                                          # (N, 27, K, 3)
-    ccnt = m.counts[sl]                                          # (N, 27)
+    cand = m.points[sl]                                          # (N, nb, K, 3)
+    ccnt = m.counts[sl]                                          # (N, nb)
     cmask = (jnp.arange(K)[None, None, :] < ccnt[:, :, None]) & valid_slot[:, :, None]
 
-    cand = cand.reshape(n, 27 * K, 3)
-    cmask = cmask.reshape(n, 27 * K)
+    cand = cand.reshape(n, nb * K, 3)
+    cmask = cmask.reshape(n, nb * K)
     d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cmask, d2, jnp.inf)
     neg, idx = jax.lax.top_k(-d2, k)                              # (N, k)

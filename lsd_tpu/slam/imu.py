@@ -82,7 +82,7 @@ def propagate(state: NavState, P: jax.Array, imu: jax.Array, imu_mask: jax.Array
         return (st_out, P_out), (st_out.quat, st_out.pos, st_out.vel)
 
     (state_end, P_end), (quats, poss, vels) = jax.lax.scan(
-        step, (state, P), (dts, imu.astype(dtype), imu_mask))
+        step, (state, P), (dts, imu.astype(dtype), imu_mask), unroll=8)
     track = dict(t=t, quat=quats, pos=poss, vel=vels, mask=imu_mask)
     return state_end, P_end, track
 

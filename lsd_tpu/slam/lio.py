@@ -51,6 +51,7 @@ class LioConfig(NamedTuple):
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
     degen_thresh: float = 10.0       # eigenvalue gate on HtH pose block
+    neighborhood: int = 19           # kNN voxel neighborhood (7/19/27)
     est_extrinsic: bool = False
     est_gravity: bool = False
     imu_noise: ImuNoise = ImuNoise()
@@ -97,7 +98,7 @@ def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
     pb = pts_l @ Re.T + nav.ext_t                 # body (IMU) frame
     pw = pb @ R.T + nav.pos                       # world
 
-    nbrs, nvalid = hashmap_knn(m, pw, mask, k=5)
+    nbrs, nvalid = hashmap_knn(m, pw, mask, k=5, neighborhood=cfg.neighborhood)
     normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
     r = jnp.einsum("ni,ni->n", pw, normals) + d
 
@@ -161,18 +162,23 @@ def lio_step(cfg: LioConfig, st: LioState,
     P_inv = jnp.linalg.inv(P_prop + 1e-9 * jnp.eye(ERR_DIM))
     inv_r = 1.0 / (cfg.meas_noise ** 2)
     inv_v = 1.0 / (cfg.vel_noise ** 2)
+    vw = jnp.where(vel_obs_valid, inv_v, 0.0)
 
-    def iterate(i, nav_i):
+    # iterate carries (nav, gated HtH + vel info, residual stats); the last
+    # iteration's information matrix is reused for the covariance update
+    # (the converged dx is tiny, matching FAST-LIO's behaviour of updating P
+    # with the H of the final iteration).
+    def iterate(i, carry):
+        nav_i, _, _ = carry
         H, r, valid = _measurement_system(cfg, nav_i, ds_pts, ds_mask, st.map)
         w = valid.astype(ds_pts.dtype)
         Hw = H * (w * inv_r)[:, None]
         HtH = H.T @ Hw
         Htr = Hw.T @ r
-        E, _ = _gate_degenerate(cfg, HtH)
+        E, n_degen = _gate_degenerate(cfg, HtH)
         HtH = E @ HtH @ E.T
         Htr = E @ Htr
         # velocity observation (wheelspeed / INS)
-        vw = jnp.where(vel_obs_valid, inv_v, 0.0)
         HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw)
         Htr = Htr.at[IDX_V].add(vw * (nav_i.vel - vel_obs))
 
@@ -180,20 +186,14 @@ def lio_step(cfg: LioConfig, st: LioState,
         A = HtH + P_inv
         b = Htr + P_inv @ delta
         dx = -jnp.linalg.solve(A, b) * upd_mask
-        return boxplus(nav_i, dx)
+        stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(r) * w), n_degen.astype(w.dtype)])
+        return boxplus(nav_i, dx), HtH, stats
 
-    nav_new = jax.lax.fori_loop(0, cfg.max_iters, iterate, nav_prop)
+    carry0 = (nav_prop, jnp.zeros((ERR_DIM, ERR_DIM), ds_pts.dtype), jnp.zeros(3, ds_pts.dtype))
+    nav_new, HtH_last, stats = jax.lax.fori_loop(0, cfg.max_iters, iterate, carry0)
 
-    # ---- covariance update at converged state -------------------------
-    H, r, valid = _measurement_system(cfg, nav_new, ds_pts, ds_mask, st.map)
-    w = valid.astype(ds_pts.dtype)
-    Hw = H * (w * inv_r)[:, None]
-    HtH = H.T @ Hw
-    E, n_degen = _gate_degenerate(cfg, HtH)
-    HtH = E @ HtH @ E.T
-    vw = jnp.where(vel_obs_valid, inv_v, 0.0)
-    HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw)
-    P_new = jnp.linalg.inv(HtH + P_inv)
+    # ---- covariance update with the last iteration's information -------
+    P_new = jnp.linalg.inv(HtH_last + P_inv)
     P_new = 0.5 * (P_new + P_new.T)
 
     # If the map is not yet seeded, keep the propagated state (first scan).
@@ -201,7 +201,10 @@ def lio_step(cfg: LioConfig, st: LioState,
     P_new = jnp.where(st.initialized, P_new, P_prop)
 
     # ---- map update ----------------------------------------------------
-    ins_pts, ins_mask = voxel_downsample(pts_und, mask, cfg.map_voxel, cfg.ds_capacity)
+    if cfg.map_voxel == cfg.scan_voxel:
+        ins_pts, ins_mask = ds_pts, ds_mask
+    else:
+        ins_pts, ins_mask = voxel_downsample(pts_und, mask, cfg.map_voxel, cfg.ds_capacity)
     R = nav_new.rot
     Re = nav_new.ext_rot
     ins_w = (ins_pts[:, :3] @ Re.T + nav_new.ext_t) @ R.T + nav_new.pos
@@ -214,10 +217,10 @@ def lio_step(cfg: LioConfig, st: LioState,
     new_center = jnp.where(moved, nav_new.pos, st.map_center)
 
     info = dict(
-        num_valid=jnp.sum(valid.astype(jnp.int32)),
+        num_valid=stats[0].astype(jnp.int32),
         num_points=jnp.sum(ds_mask.astype(jnp.int32)),
-        mean_residual=jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0),
-        n_degenerate=n_degen,
+        mean_residual=stats[1] / jnp.maximum(stats[0], 1.0),
+        n_degenerate=stats[2].astype(jnp.int32),
         pose=nav_new.pose_matrix(),
     )
     new_st = LioState(nav=nav_new, P=P_new, map=new_map, map_center=new_center,
