@@ -15,6 +15,16 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v: jax.Array, axis=-1, keepdims=True) -> jax.Array:
+    """Norm with a well-defined (zero) gradient at v = 0.
+
+    ``jnp.linalg.norm`` has a NaN gradient at the origin (d|v|/dv = v/|v|),
+    which poisons every Jacobian evaluated at zero rotation vectors — the
+    common case in Gauss-Newton linearization.
+    """
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + 1e-18)
+
+
 def hat(w: jax.Array) -> jax.Array:
     """Skew-symmetric matrix of w (..., 3) -> (..., 3, 3)."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -45,7 +55,7 @@ def _cosc(x):
 
 def exp_so3(w: jax.Array) -> jax.Array:
     """Rodrigues formula: rotation vector (..., 3) -> rotation matrix (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     t = theta[..., None]  # (..., 1, 1)
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -63,7 +73,7 @@ def log_so3(R: jax.Array) -> jax.Array:
 
 def left_jacobian(w: jax.Array) -> jax.Array:
     """Left Jacobian of SO(3): J_l(w) such that exp(w + dw) ~ exp(J_l dw) exp(w)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(w)[..., None]
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     t2 = theta * theta
@@ -76,7 +86,7 @@ def left_jacobian(w: jax.Array) -> jax.Array:
 
 def inv_left_jacobian(w: jax.Array) -> jax.Array:
     """Inverse left Jacobian of SO(3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(w)[..., None]
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     t2 = theta * theta
@@ -110,14 +120,14 @@ def quat_conj(q: jax.Array) -> jax.Array:
 
 
 def quat_normalize(q: jax.Array) -> jax.Array:
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    n = _safe_norm(q)
     q = q / jnp.maximum(n, _EPS)
     # canonicalize sign (w >= 0) so log is the short way around
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
 def quat_from_rotvec(w: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     half = theta / 2.0
     k = 0.5 * _sinc(half)  # sin(t/2)/t
     return jnp.concatenate([jnp.cos(half), k * w], axis=-1)
@@ -126,7 +136,7 @@ def quat_from_rotvec(w: jax.Array) -> jax.Array:
 def rotvec_from_quat(q: jax.Array) -> jax.Array:
     q = quat_normalize(q)
     w, v = q[..., :1], q[..., 1:]
-    sin_half = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    sin_half = _safe_norm(v)
     half = jnp.arctan2(sin_half, w)
     # rotvec = 2 * half * v / sin(half); v/sin_half safe as sin_half->0
     scale = jnp.where(sin_half < 1e-7, 2.0 / jnp.maximum(w, 0.5), 2.0 * half / jnp.maximum(sin_half, _EPS))

@@ -1,0 +1,301 @@
+"""Pose-graph optimization: batched sparse Gauss-Newton in JAX.
+
+Re-derivation of the reference's g2o backend (slam/backend/graph_slam.cpp +
+hdl_graph_slam_nodelet.cpp factor construction; robust_graph_optimize with
+GNSS outlier gating, backend_api.h:63) as a TPU-native solver:
+
+- Factor types (matching hdl_graph_slam semantics):
+  SE3 odometry/loop edges, GPS XYZ(or XY) priors, floor-plane (z +
+  attitude) factors, IMU orientation priors, fixed-vertex gauge.
+- Solver: matrix-free Gauss-Newton.  Residuals of all factors are built
+  with vmap over static-capacity masked arrays; the normal equations are
+  solved by preconditioned conjugate gradient using JVP/VJP of the residual
+  function — no explicit sparse Hessian, so the same code paths shard over
+  device meshes (edges are data-parallel).
+- Robustness: Huber IRLS weights per outer iteration + chi-square gating
+  that disables GNSS priors with gross residuals (the reference uses
+  max-clique consistency filtering; chi2 gating preserves the observable
+  behaviour — gross GNSS outliers do not bend the graph).
+
+Nodes are (quat wxyz, pos) pairs; the error state is 6 per node
+(rotation tangent, translation), right-perturbed like state.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import so3
+
+
+class GraphNodes(NamedTuple):
+    quat: jax.Array    # (N, 4)
+    pos: jax.Array     # (N, 3)
+    fixed: jax.Array   # (N,) bool — gauge anchors
+    mask: jax.Array    # (N,) bool — slot in use
+
+
+class Se3Edges(NamedTuple):
+    idx: jax.Array       # (E, 2) int32 (i, j)
+    q_meas: jax.Array    # (E, 4)  measured T_i^-1 T_j rotation
+    t_meas: jax.Array    # (E, 3)  measured translation
+    sqrt_info: jax.Array  # (E, 6) diagonal sqrt information [rot, trans]
+    mask: jax.Array      # (E,)
+
+
+class GpsPriors(NamedTuple):
+    idx: jax.Array       # (G,) int32
+    xyz: jax.Array       # (G, 3)
+    sqrt_info: jax.Array  # (G, 3) diag sqrt info (zero z-entry = XY-only)
+    mask: jax.Array      # (G,)
+
+
+class FloorPriors(NamedTuple):
+    idx: jax.Array       # (F,) int32
+    z: jax.Array         # (F,) floor height at node
+    sqrt_info: jax.Array  # (F, 3) [z, roll-ish, pitch-ish]
+    mask: jax.Array      # (F,)
+
+
+class OrientPriors(NamedTuple):
+    idx: jax.Array       # (O,) int32
+    quat: jax.Array      # (O, 4)
+    sqrt_info: jax.Array  # (O, 3)
+    mask: jax.Array      # (O,)
+
+
+class PoseGraphData(NamedTuple):
+    nodes: GraphNodes
+    se3: Se3Edges
+    gps: GpsPriors
+    floor: FloorPriors
+    orient: OrientPriors
+
+
+class PgoConfig(NamedTuple):
+    outer_iters: int = 6          # robust/GN relinearization rounds
+    cg_iters: int = 50
+    huber_delta: float = 1.0      # on whitened residual norm
+    gps_chi2_gate: float = 25.0   # disable GNSS priors above this chi2
+    damping: float = 1e-6
+
+
+def empty_graph(n_nodes: int, n_se3: int, n_gps: int = 0, n_floor: int = 0,
+                n_orient: int = 0) -> PoseGraphData:
+    def z(*s):
+        return jnp.zeros(s, jnp.float32)
+    qid = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n_nodes, 1))
+    g = max(n_gps, 1)
+    f = max(n_floor, 1)
+    o = max(n_orient, 1)
+    return PoseGraphData(
+        nodes=GraphNodes(qid, z(n_nodes, 3), jnp.zeros(n_nodes, bool), jnp.zeros(n_nodes, bool)),
+        se3=Se3Edges(jnp.zeros((n_se3, 2), jnp.int32),
+                     jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n_se3, 1)),
+                     z(n_se3, 3), jnp.ones((n_se3, 6), jnp.float32), jnp.zeros(n_se3, bool)),
+        gps=GpsPriors(jnp.zeros(g, jnp.int32), z(g, 3), jnp.ones((g, 3), jnp.float32),
+                      jnp.zeros(g, bool)),
+        floor=FloorPriors(jnp.zeros(f, jnp.int32), z(f), jnp.ones((f, 3), jnp.float32),
+                          jnp.zeros(f, bool)),
+        orient=OrientPriors(jnp.zeros(o, jnp.int32), qid[:o], jnp.ones((o, 3), jnp.float32),
+                            jnp.zeros(o, bool)),
+    )
+
+
+# --------------------------------------------------------------------------
+# residuals
+
+
+def _node_pose(nodes: GraphNodes, dx: jax.Array, i):
+    """Perturbed pose of node i: (quat, pos) boxplus dx[i]."""
+    q = so3.quat_mul(nodes.quat[i], so3.quat_from_rotvec(dx[i, :3]))
+    p = nodes.pos[i] + dx[i, 3:]
+    return q, p
+
+
+def _se3_residual(nodes: GraphNodes, e: Se3Edges, dx: jax.Array) -> jax.Array:
+    """Whitened 6-dim residual per SE3 edge."""
+    def one(idx, qm, tm, si, m):
+        qi, pi = _node_pose(nodes, dx, idx[0])
+        qj, pj = _node_pose(nodes, dx, idx[1])
+        qi_inv = so3.quat_conj(qi)
+        # relative pose i->j
+        q_ij = so3.quat_mul(qi_inv, qj)
+        t_ij = so3.quat_rotate(qi_inv, pj - pi)
+        dq = so3.quat_mul(so3.quat_conj(qm), q_ij)
+        r_rot = so3.rotvec_from_quat(dq)
+        r_t = t_ij - tm
+        return jnp.concatenate([r_rot, r_t]) * si * m
+
+    return jax.vmap(one)(e.idx, e.q_meas, e.t_meas, e.sqrt_info,
+                         e.mask.astype(dx.dtype))
+
+
+def _gps_residual(nodes: GraphNodes, g: GpsPriors, dx: jax.Array) -> jax.Array:
+    def one(idx, xyz, si, m):
+        _, p = _node_pose(nodes, dx, idx)
+        return (p - xyz) * si * m
+    return jax.vmap(one)(g.idx, g.xyz, g.sqrt_info, g.mask.astype(dx.dtype))
+
+
+def _floor_residual(nodes: GraphNodes, f: FloorPriors, dx: jax.Array) -> jax.Array:
+    def one(idx, z0, si, m):
+        q, p = _node_pose(nodes, dx, idx)
+        # body z-axis in world; residual = tilt (x,y of axis) + height
+        zaxis = so3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0], dx.dtype))
+        return jnp.stack([p[2] - z0, zaxis[0], zaxis[1]]) * si * m
+    return jax.vmap(one)(f.idx, f.z, f.sqrt_info, f.mask.astype(dx.dtype))
+
+
+def _orient_residual(nodes: GraphNodes, o: OrientPriors, dx: jax.Array) -> jax.Array:
+    def one(idx, qm, si, m):
+        q, _ = _node_pose(nodes, dx, idx)
+        return so3.rotvec_from_quat(so3.quat_mul(so3.quat_conj(qm), q)) * si * m
+    return jax.vmap(one)(o.idx, o.quat, o.sqrt_info, o.mask.astype(dx.dtype))
+
+
+def _all_residuals(graph: PoseGraphData, dx: jax.Array,
+                   rw_se3, rw_gps) -> Tuple[jax.Array, ...]:
+    """Stacked whitened residuals with robust/gating weights applied."""
+    r1 = _se3_residual(graph.nodes, graph.se3, dx) * rw_se3[:, None]
+    r2 = _gps_residual(graph.nodes, graph.gps, dx) * rw_gps[:, None]
+    r3 = _floor_residual(graph.nodes, graph.floor, dx)
+    r4 = _orient_residual(graph.nodes, graph.orient, dx)
+    return jnp.concatenate([r1.ravel(), r2.ravel(), r3.ravel(), r4.ravel()])
+
+
+# --------------------------------------------------------------------------
+# solver
+
+
+def _jtj_diag(g: PoseGraphData, rw_se3: jax.Array, rw_gps: jax.Array,
+              n: int) -> jax.Array:
+    """Exact diagonal of JtJ, accumulated per factor (for Jacobi PCG)."""
+    nodes = g.nodes
+    diag = jnp.zeros((n, 6), jnp.float32)
+
+    def se3_f(d, qi0, pi0, qj0, pj0, qm, tm, si, m):
+        qi = so3.quat_mul(qi0, so3.quat_from_rotvec(d[:3]))
+        pi = pi0 + d[3:6]
+        qj = so3.quat_mul(qj0, so3.quat_from_rotvec(d[6:9]))
+        pj = pj0 + d[9:12]
+        qi_inv = so3.quat_conj(qi)
+        q_ij = so3.quat_mul(qi_inv, qj)
+        t_ij = so3.quat_rotate(qi_inv, pj - pi)
+        r_rot = so3.rotvec_from_quat(so3.quat_mul(so3.quat_conj(qm), q_ij))
+        return jnp.concatenate([r_rot, t_ij - tm]) * si * m
+
+    J = jax.vmap(lambda qi0, pi0, qj0, pj0, qm, tm, si, m: jax.jacfwd(se3_f)(
+        jnp.zeros(12, jnp.float32), qi0, pi0, qj0, pj0, qm, tm, si, m))(
+        nodes.quat[g.se3.idx[:, 0]], nodes.pos[g.se3.idx[:, 0]],
+        nodes.quat[g.se3.idx[:, 1]], nodes.pos[g.se3.idx[:, 1]],
+        g.se3.q_meas, g.se3.t_meas, g.se3.sqrt_info,
+        (g.se3.mask.astype(jnp.float32) * rw_se3))
+    contrib = jnp.sum(J ** 2, axis=1)            # (E, 12)
+    diag = diag.at[g.se3.idx[:, 0]].add(contrib[:, :6])
+    diag = diag.at[g.se3.idx[:, 1]].add(contrib[:, 6:])
+
+    # gps priors touch only translation components
+    w = (g.gps.mask.astype(jnp.float32) * rw_gps)[:, None] * g.gps.sqrt_info
+    diag = diag.at[g.gps.idx, 3:].add(w ** 2)
+
+    def floor_f(d, q0, p0, z0, si, m):
+        q = so3.quat_mul(q0, so3.quat_from_rotvec(d[:3]))
+        p = p0 + d[3:]
+        zaxis = so3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        return jnp.stack([p[2] - z0, zaxis[0], zaxis[1]]) * si * m
+
+    Jf = jax.vmap(lambda q0, p0, z0, si, m: jax.jacfwd(floor_f)(
+        jnp.zeros(6, jnp.float32), q0, p0, z0, si, m))(
+        nodes.quat[g.floor.idx], nodes.pos[g.floor.idx],
+        g.floor.z, g.floor.sqrt_info, g.floor.mask.astype(jnp.float32))
+    diag = diag.at[g.floor.idx].add(jnp.sum(Jf ** 2, axis=1))
+
+    def orient_f(d, q0, qm, si, m):
+        q = so3.quat_mul(q0, so3.quat_from_rotvec(d[:3]))
+        r = so3.rotvec_from_quat(so3.quat_mul(so3.quat_conj(qm), q)) * si * m
+        return jnp.concatenate([r, jnp.zeros(3, jnp.float32) * d[3:]])
+
+    Jo = jax.vmap(lambda q0, qm, si, m: jax.jacfwd(orient_f)(
+        jnp.zeros(6, jnp.float32), q0, qm, si, m))(
+        nodes.quat[g.orient.idx], g.orient.quat, g.orient.sqrt_info,
+        g.orient.mask.astype(jnp.float32))
+    diag = diag.at[g.orient.idx].add(jnp.sum(Jo ** 2, axis=1))
+    return diag
+
+
+def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
+    """sqrt IRLS weight per factor from its whitened residual norm."""
+    n = jnp.linalg.norm(r, axis=-1)
+    return jnp.sqrt(jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-9)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
+             ) -> Tuple[PoseGraphData, dict]:
+    """Run robust Gauss-Newton; returns (updated graph, info)."""
+    nodes = graph.nodes
+    n = nodes.quat.shape[0]
+    free = (nodes.mask & ~nodes.fixed).astype(jnp.float32)[:, None]  # (N,1)
+
+    def outer(carry, _):
+        nodes, gps_on = carry
+        g = graph._replace(nodes=nodes,
+                           gps=graph.gps._replace(mask=graph.gps.mask & gps_on))
+        dx0 = jnp.zeros((n, 6), jnp.float32)
+
+        # robust weights at current linearization point
+        r_se3 = _se3_residual(nodes, g.se3, dx0)
+        r_gps = _gps_residual(nodes, g.gps, dx0)
+        rw_se3 = _huber_weights(r_se3, cfg.huber_delta)
+        rw_gps = _huber_weights(r_gps, cfg.huber_delta)
+        # chi2 gate on GNSS priors (outlier rejection)
+        chi2 = jnp.sum(r_gps ** 2, axis=-1)
+        gps_on_new = gps_on & (chi2 < cfg.gps_chi2_gate)
+
+        def resid(dx):
+            return _all_residuals(g, dx * free, rw_se3, rw_gps)
+
+        r0, lin = jax.linearize(resid, dx0)
+        _, vjp = jax.vjp(resid, dx0)
+
+        def AtA(v):
+            (jtj,) = vjp(lin(v))
+            return jtj * free + cfg.damping * v
+
+        b = -(vjp(r0)[0]) * free
+        # Jacobi preconditioner: exact diag(JtJ) from per-factor Jacobians
+        diag = _jtj_diag(g, rw_se3, rw_gps, n) * free + cfg.damping
+        Minv = 1.0 / jnp.maximum(diag, 1e-8)
+
+        def cg_step(state, _):
+            x, r, z, p = state
+            Ap = AtA(p)
+            rz = jnp.vdot(r, z)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-12)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z_new = r_new * Minv
+            beta = jnp.vdot(r_new, z_new) / jnp.maximum(rz, 1e-12)
+            return (x, r_new, z_new, p * beta + z_new), None
+
+        z0 = b * Minv
+        (dx, *_), _ = jax.lax.scan(cg_step, (jnp.zeros_like(b), b, z0, z0),
+                                   None, length=cfg.cg_iters)
+        dx = dx * free
+        new_nodes = nodes._replace(
+            quat=so3.quat_normalize(so3.quat_mul(nodes.quat, so3.quat_from_rotvec(dx[:, :3]))),
+            pos=nodes.pos + dx[:, 3:],
+        )
+        return (new_nodes, gps_on_new), jnp.sum(r0 ** 2)
+
+    gps_on0 = jnp.ones_like(graph.gps.mask)
+    (nodes_f, gps_on_f), costs = jax.lax.scan(
+        outer, (nodes, gps_on0), None, length=cfg.outer_iters)
+    info = dict(costs=costs, gps_inliers=jnp.sum((graph.gps.mask & gps_on_f).astype(jnp.int32)))
+    return graph._replace(nodes=nodes_f,
+                          gps=graph.gps._replace(mask=graph.gps.mask & gps_on_f)), info
