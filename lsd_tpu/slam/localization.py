@@ -1,0 +1,165 @@
+"""Map-based localization: global relocalization + NDT/UKF tracking.
+
+Host-side re-derivation of the reference's localization stack
+(slam/localization/src/localization.cpp + global_localization.cpp +
+hdl_localization): load an LSD-format map, globally relocalize with
+ScanContext (+ ICP verification, optionally seeded by a user pose hint),
+then track with UKF predict (IMU/const-vel) + NDT map matching, streaming
+a local NDT target map from the keyframes around the vehicle
+(localization.cpp runUpdateLocalMap:303-369).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops import hashmap_create, hashmap_insert
+from .keyframe import Keyframe, KeyframeStore
+from .map_io import load_map
+from .registration import icp_point_to_plane, ndt_align, ndt_build
+from .scancontext import make_descriptor, sc_db_add, sc_db_create, sc_query
+from .ukf import UkfConfig, UkfState, ukf_correct, ukf_init, ukf_pose, ukf_predict
+
+
+@dataclasses.dataclass
+class LocalizerConfig:
+    ndt_resolution: float = 1.0
+    ndt_capacity: int = 2 ** 16
+    local_map_radius: float = 45.0
+    update_map_every: float = 5.0    # recentre local map after this travel (m)
+    reloc_sc_thresh: float = 0.35
+    reloc_fitness_thresh: float = 0.4
+    ukf: UkfConfig = UkfConfig()
+
+
+class Localizer:
+    def __init__(self, map_dir: str, cfg: LocalizerConfig = LocalizerConfig()):
+        self.cfg = cfg
+        data = load_map(map_dir)
+        self.store = KeyframeStore()
+        for i, (s, T, c) in enumerate(zip(data["stamps"], data["poses"], data["clouds"])):
+            self.store.add(Keyframe(id=i, stamp_us=s, pose=T, odom=T, cloud=c))
+        self.origin = data["origin"]
+        # ScanContext DB over keyframe clouds (in their own frame)
+        self.sc_db = sc_db_create(capacity=4096)
+        for kf in self.store.frames:
+            pts = kf.cloud[:, :3].astype(np.float32)
+            cap = 1 << int(np.ceil(np.log2(max(len(pts), 2))))
+            pad = np.zeros((cap, 3), np.float32)
+            pad[:len(pts)] = pts
+            m = np.zeros(cap, bool)
+            m[:len(pts)] = True
+            # descriptor is built in the keyframe (sensor) frame
+            self.sc_db = sc_db_add(self.sc_db, make_descriptor(jnp.asarray(pad), jnp.asarray(m)))
+        self.initialized = False
+        self.ukf: Optional[UkfState] = None
+        self.ndt_map = None
+        self.map_center = None
+        self.last_stamp_us: Optional[int] = None
+        self.init_hint: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    def set_init_pose(self, pose: np.ndarray) -> None:
+        """Interactive pose hint (ref: slam_wrapper setInitPoseRange)."""
+        self.init_hint = np.asarray(pose, float)
+
+    def _build_local_map(self, center) -> None:
+        ids = self.store.within_radius(center, self.cfg.local_map_radius)
+        cloud = self.store.merged_cloud(ids, max_points=2 ** 17)
+        cap = 1 << int(np.ceil(np.log2(max(len(cloud), 2))))
+        pad = np.zeros((cap, 3), np.float32)
+        pad[:len(cloud)] = cloud[:, :3]
+        m = np.zeros(cap, bool)
+        m[:len(cloud)] = True
+        self.ndt_map = ndt_build(jnp.asarray(pad), jnp.asarray(m),
+                                 self.cfg.ndt_resolution, self.cfg.ndt_capacity)
+        # companion point map for the precise ICP refinement stage
+        icp_m = hashmap_create(capacity=2 ** 17, points_per_voxel=8, voxel_size=0.5)
+        self.icp_map = hashmap_insert(icp_m, jnp.asarray(pad), jnp.asarray(m))
+        self._local_cloud = (pad, m)
+        self.map_center = np.asarray(center, float).copy()
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, points, mask) -> Optional[np.ndarray]:
+        """ScanContext (or hint) -> ICP verify -> initial pose."""
+        cand_pose = None
+        yaw0 = 0.0
+        if self.init_hint is not None:
+            cand_pose = self.init_hint
+        else:
+            desc = make_descriptor(jnp.asarray(points[:, :3]), jnp.asarray(mask))
+            idx, dist, yaw = sc_query(self.sc_db, desc, num_candidates=10,
+                                      exclude_recent=0)
+            if int(idx) < 0 or float(dist) > self.cfg.reloc_sc_thresh:
+                return None
+            cand_pose = self.store[int(idx)].pose
+            yaw0 = float(yaw)
+        # verify + refine with ICP against the neighborhood map
+        center = cand_pose[:3, 3]
+        ids = self.store.within_radius(center, self.cfg.local_map_radius)
+        target = self.store.merged_cloud(ids, max_points=2 ** 16)
+        if len(target) < 500:
+            return None
+        cap = 1 << int(np.ceil(np.log2(max(len(target), 2))))
+        pad = np.zeros((cap, 3), np.float32)
+        pad[:len(target)] = target[:, :3]
+        tm = np.zeros(cap, bool)
+        tm[:len(target)] = True
+        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
+        m = hashmap_insert(m, jnp.asarray(pad), jnp.asarray(tm))
+        Rz = np.asarray(so3.exp_so3(jnp.asarray([0.0, 0.0, -yaw0], jnp.float32)))
+        R0 = cand_pose[:3, :3] @ Rz
+        q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
+        t0 = jnp.asarray(cand_pose[:3, 3], jnp.float32)
+        q, t, info = icp_point_to_plane(m, jnp.asarray(points[:, :3]), jnp.asarray(mask),
+                                        q0, t0, iters=15)
+        if float(info["fitness"]) < self.cfg.reloc_fitness_thresh:
+            return None
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T[:3, 3] = np.asarray(t)
+        return T
+
+    # ------------------------------------------------------------------
+    def process_scan(self, points, mask, stamp_us: int,
+                     imu_gyro=None, imu_acc=None) -> Dict:
+        """Feed one padded scan (sensor frame). Returns dict(pose, status)."""
+        points = np.asarray(points, np.float32)
+        mask = np.asarray(mask, bool)
+        if not self.initialized:
+            T = self._relocalize(points, mask)
+            if T is None:
+                return dict(pose=None, status="relocalizing")
+            self.ukf = ukf_init(jnp.asarray(T, jnp.float32))
+            self._build_local_map(T[:3, 3])
+            self.initialized = True
+            self.last_stamp_us = stamp_us
+            return dict(pose=T, status="initialized")
+
+        dt = max((stamp_us - self.last_stamp_us) / 1e6, 1e-3) if self.last_stamp_us else 0.1
+        self.last_stamp_us = stamp_us
+        self.ukf = ukf_predict(self.ukf, jnp.asarray(dt, jnp.float32), self.cfg.ukf,
+                               None if imu_gyro is None else jnp.asarray(imu_gyro, jnp.float32),
+                               None if imu_acc is None else jnp.asarray(imu_acc, jnp.float32))
+        T_pred = np.asarray(ukf_pose(self.ukf), float)
+
+        q0 = so3.matrix_to_quat(jnp.asarray(T_pred[:3, :3], jnp.float32))
+        t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
+        q, t, info = ndt_align(self.ndt_map, jnp.asarray(points[:, :3]),
+                               jnp.asarray(mask), q0, t0, iters=20)
+        # precise refinement: point-to-plane ICP pulls the NDT estimate the
+        # last decimeters (NDT has a wide basin but a soft optimum)
+        q, t, icp_info = icp_point_to_plane(self.icp_map, jnp.asarray(points[:, :3]),
+                                            jnp.asarray(mask), q, t, iters=5)
+        matched = float(info["matched_frac"])
+        if matched > 0.15 and float(icp_info["fitness"]) > 0.2:
+            self.ukf = ukf_correct(self.ukf, t, q, self.cfg.ukf)
+        T = np.asarray(ukf_pose(self.ukf), float)
+
+        if np.linalg.norm(T[:3, 3] - self.map_center) > self.cfg.update_map_every:
+            self._build_local_map(T[:3, 3])
+        return dict(pose=T, status="tracking", matched_frac=matched)

@@ -1,0 +1,197 @@
+"""Mapping orchestrator: LIO front-end + pose-graph back-end.
+
+Host-side re-derivation of the reference's SLAM facade + graph threads
+(slam/src/slam.cpp run/runMappingThread, slam/mapping/fastlio/fastlio.cpp
+runLio/runGraph, slam/backend/.../hdl_graph_slam_nodelet.cpp keyframe flush
++ loop_detector + optimization_timer_callback), with every numeric stage a
+jitted JAX call:
+
+    per scan:  lio_step (ESIKF odometry)
+    keyframe gate -> store cloud + ScanContext descriptor + odom edge
+    loop detect: distance-gated candidates -> ScanContext match ->
+                 point-to-plane ICP verify -> loop edge
+    every N keyframes: posegraph optimize -> update keyframe poses
+    save: LSD-format map directory (map_io.save_map)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops import hashmap_create, hashmap_insert, voxel_downsample
+from .graph_builder import PoseGraphBuilder
+from .keyframe import Keyframe, KeyframeStore, KeyframeUpdater
+from .lio import LioConfig, lio_init, lio_step
+from .map_io import save_map
+from .posegraph import PgoConfig, optimize
+from .registration import icp_point_to_plane
+from .scancontext import make_descriptor, sc_db_add, sc_db_create, sc_query
+
+
+@dataclasses.dataclass
+class MapperConfig:
+    lio: LioConfig = dataclasses.field(default_factory=LioConfig)
+    pgo: PgoConfig = dataclasses.field(default_factory=PgoConfig)
+    keyframe_delta_trans: float = 2.0
+    keyframe_delta_angle: float = 0.2618
+    keyframe_cloud_voxel: float = 0.25
+    keyframe_cloud_cap: int = 16384
+    loop_min_distance: float = 15.0       # accum travel before loop accepted
+    loop_search_radius: float = 20.0      # candidate gate (m)
+    loop_sc_thresh: float = 0.3
+    loop_fitness_thresh: float = 0.4
+    optimize_every: int = 10              # keyframes between PGO runs
+    gps_info: float = 0.25                # 1/sigma^2 for GPS priors
+
+
+class Mapper:
+    def __init__(self, cfg: MapperConfig = MapperConfig()):
+        self.cfg = cfg
+        self.lio_state = lio_init(cfg.lio)
+        self.updater = KeyframeUpdater(cfg.keyframe_delta_trans, cfg.keyframe_delta_angle)
+        self.store = KeyframeStore()
+        self.graph = PoseGraphBuilder()
+        self.sc_db = sc_db_create(capacity=4096)
+        self.sc_ids: List[int] = []       # sc slot -> keyframe id
+        self.odometry: List[Tuple[int, np.ndarray]] = []
+        self.loops: List[Tuple[int, int]] = []
+        self.origin_lla: Optional[np.ndarray] = None
+        self._kf_since_opt = 0
+
+    # ------------------------------------------------------------------
+    def process_scan(self, points, stamps, mask, imu, imu_mask,
+                     stamp_us: int = 0, gps_xyz=None,
+                     vel_obs=None, vel_obs_valid=None) -> Dict:
+        """Feed one (padded) scan; returns dict(pose, is_keyframe, info)."""
+        cfg = self.cfg
+        self.lio_state, info = lio_step(
+            cfg.lio, self.lio_state, jnp.asarray(points), jnp.asarray(stamps),
+            jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
+            None if vel_obs is None else jnp.asarray(vel_obs),
+            None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
+        pose = np.asarray(info["pose"], float)
+        self.odometry.append((stamp_us, pose))
+
+        is_kf = self.updater.is_update(pose)
+        loop = None
+        if is_kf:
+            loop = self._add_keyframe(points, mask, pose, stamp_us, gps_xyz)
+        return dict(pose=pose, is_keyframe=is_kf, loop=loop, info=info)
+
+    # ------------------------------------------------------------------
+    def _add_keyframe(self, points, mask, pose, stamp_us, gps_xyz):
+        cfg = self.cfg
+        pts4 = np.asarray(points, np.float32)
+        if pts4.shape[1] == 3:
+            pts4 = np.concatenate([pts4, np.zeros((len(pts4), 1), np.float32)], 1)
+        ds, ds_mask = voxel_downsample(jnp.asarray(pts4), jnp.asarray(mask),
+                                       cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
+        cloud = np.asarray(ds)[np.asarray(ds_mask)]
+
+        kf = Keyframe(id=-1, stamp_us=stamp_us, pose=pose.copy(), odom=pose.copy(),
+                      cloud=cloud, accum_distance=self.updater.accum_distance)
+        kid = self.store.add(kf)
+        self.graph.add_node(pose, fixed=(kid == 0))
+        if kid > 0:
+            prev = self.store[kid - 1]
+            T_rel = np.linalg.inv(prev.odom) @ kf.odom
+            self.graph.add_se3_edge(kid - 1, kid, T_rel, rot_info=400.0, trans_info=400.0)
+        if gps_xyz is not None:
+            self.graph.add_gps_prior(kid, gps_xyz, info=cfg.gps_info)
+
+        # ScanContext + loop detection
+        desc = make_descriptor(jnp.asarray(pts4[:, :3]), jnp.asarray(mask))
+        loop = self._detect_loop(kid, desc)
+        self.sc_db = sc_db_add(self.sc_db, desc)
+        self.sc_ids.append(kid)
+
+        self._kf_since_opt += 1
+        if self._kf_since_opt >= cfg.optimize_every:
+            self.optimize_graph()
+        return loop
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kid: int, desc) -> Optional[Tuple[int, int]]:
+        cfg = self.cfg
+        kf = self.store[kid]
+        if kf.accum_distance < cfg.loop_min_distance or len(self.sc_ids) < 5:
+            return None
+        idx, dist, yaw = sc_query(self.sc_db, desc, num_candidates=10,
+                                  exclude_recent=5)
+        idx = int(idx)
+        if idx < 0 or idx >= len(self.sc_ids) or float(dist) > cfg.loop_sc_thresh:
+            return None
+        cand = self.sc_ids[idx]
+        cand_kf = self.store[cand]
+        # distance gate in current pose estimates
+        if np.linalg.norm(cand_kf.pose[:3, 3] - kf.pose[:3, 3]) > cfg.loop_search_radius:
+            return None
+        # travel-distance gate (avoid adjacent-keyframe "loops")
+        if kf.accum_distance - cand_kf.accum_distance < cfg.loop_min_distance:
+            return None
+        # verify with ICP: align current cloud to candidate's neighborhood map
+        ids = [i for i in self.store.within_radius(cand_kf.pose[:3, 3], 25.0)
+               if abs(i - kid) > 2]
+        target = self.store.merged_cloud(ids, max_points=2 ** 16)
+        if len(target) < 1000:
+            return None
+        cap = 1 << int(np.ceil(np.log2(max(len(target), 2))))
+        tgt_pad = np.zeros((cap, 3), np.float32)
+        tgt_pad[:len(target)] = target[:, :3]
+        tmask = np.zeros(cap, bool)
+        tmask[:len(target)] = True
+        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
+        m = hashmap_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
+
+        src = kf.cloud[:, :3]
+        scap = 1 << int(np.ceil(np.log2(max(len(src), 2))))
+        src_pad = np.zeros((scap, 3), np.float32)
+        src_pad[:len(src)] = src
+        smask = np.zeros(scap, bool)
+        smask[:len(src)] = True
+        q0 = so3.matrix_to_quat(jnp.asarray(kf.pose[:3, :3], jnp.float32))
+        t0 = jnp.asarray(kf.pose[:3, 3], jnp.float32)
+        q, t, icp_info = icp_point_to_plane(m, jnp.asarray(src_pad), jnp.asarray(smask),
+                                            q0, t0, iters=12)
+        if float(icp_info["fitness"]) < cfg.loop_fitness_thresh:
+            return None
+        T_w = np.eye(4)
+        T_w[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T_w[:3, 3] = np.asarray(t)
+        T_rel = np.linalg.inv(cand_kf.pose) @ T_w
+        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=200.0, trans_info=200.0)
+        self.loops.append((cand, kid))
+        return (cand, kid)
+
+    # ------------------------------------------------------------------
+    def optimize_graph(self) -> None:
+        if self.graph.num_nodes < 2:
+            return
+        data, info = optimize(self.graph.to_data(), self.cfg.pgo)
+        self.graph.update_from(data)
+        for i in range(self.graph.num_nodes):
+            self.store.frames[i].pose = self.graph.node_pose(i).astype(float)
+        self._kf_since_opt = 0
+
+    # ------------------------------------------------------------------
+    def save(self, map_dir: str) -> str:
+        self.optimize_graph()
+        stamps = [kf.stamp_us for kf in self.store.frames]
+        poses = [kf.pose for kf in self.store.frames]
+        clouds = [kf.cloud for kf in self.store.frames]
+        edges = []
+        for (i, j, q, t, si) in self.graph.se3:
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))
+            T[:3, 3] = t
+            edges.append((i, j, T, np.asarray(si[:6]) ** 2))
+        origin = self.origin_lla if self.origin_lla is not None else np.zeros(3)
+        return save_map(map_dir, origin, stamps, poses, clouds, edges,
+                        fixed=[i for i, f in enumerate(self.graph.fixed) if f])
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack([T for _, T in self.odometry]) if self.odometry else np.zeros((0, 4, 4))

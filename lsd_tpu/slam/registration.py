@@ -1,0 +1,214 @@
+"""Scan registration: point-to-plane ICP and NDT, jitted Gauss-Newton.
+
+TPU-native equivalents of the reference's registration cores
+(slam/thirdparty/fast_gicp + ndt_omp, selected in
+slam/backend/registrations.cpp:35-134; used for loop-closure verification
+in loop_detector.hpp and NDT map matching in hdl_localization):
+
+- ``icp_point_to_plane``: align a source scan to a target VoxelHashMap with
+  kNN plane fits (the GICP-class verifier).
+- ``NdtMap`` + ``ndt_align``: per-voxel Gaussian stats and P2D-NDT
+  Gauss-Newton alignment (the localization matcher).
+
+Both optimize a 6-dof right-perturbation twist with fixed iteration counts
+(static shapes; convergence is monitored via the returned fitness).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops.hashmap import VoxelHashMap, _probe_find, _slot_hash, _content_key, hashmap_knn
+from ..ops.planefit import fit_planes
+
+
+def _apply(q, t, pts):
+    return so3.quat_rotate(q[None, :], pts) + t
+
+
+# --------------------------------------------------------------------------
+# point-to-plane ICP against a voxel hash map
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "neighborhood"))
+def icp_point_to_plane(target: VoxelHashMap, source: jax.Array, mask: jax.Array,
+                       q0: jax.Array, t0: jax.Array, iters: int = 10,
+                       plane_thresh: float = 0.2, max_dist: float = 1.0,
+                       neighborhood: int = 19) -> Tuple[jax.Array, jax.Array, dict]:
+    """Refine (q0, t0) so that source points fit target planes.
+
+    Returns (q, t, info) with info = dict(fitness=inlier fraction,
+    mean_residual, last_delta).
+    """
+
+    def gn_step(carry, _):
+        q, t = carry
+        pw = _apply(q, t, source)
+        nbrs, nvalid = hashmap_knn(target, pw, mask, k=5, neighborhood=neighborhood)
+        normals, d, ok = fit_planes(nbrs, nvalid, plane_thresh)
+        r = jnp.einsum("ni,ni->n", pw, normals) + d
+        valid = mask & ok & (jnp.abs(r) < max_dist)
+        w = valid.astype(source.dtype)
+        # H rows: [dr/dtheta, dr/dt] with right-perturbed rotation
+        nR = normals @ so3.quat_to_matrix(q)
+        H = jnp.concatenate([-jnp.cross(nR, source), normals], axis=-1)  # (N, 6)
+        H = H * w[:, None]
+        rw = r * w
+        A = H.T @ H + 1e-6 * jnp.eye(6, dtype=source.dtype)
+        b = H.T @ rw
+        dx = -jnp.linalg.solve(A, b)
+        q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
+        t_new = t + dx[3:]
+        stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(rw)), jnp.linalg.norm(dx)])
+        return (q_new, t_new), stats
+
+    (q, t), stats = jax.lax.scan(gn_step, (q0, t0), None, length=iters)
+    n_valid = stats[-1, 0]
+    n_total = jnp.maximum(jnp.sum(mask.astype(source.dtype)), 1.0)
+    info = dict(fitness=n_valid / n_total,
+                mean_residual=stats[-1, 1] / jnp.maximum(n_valid, 1.0),
+                last_delta=stats[-1, 2])
+    return q, t, info
+
+
+# --------------------------------------------------------------------------
+# NDT
+
+
+class NdtMap(NamedTuple):
+    keys: jax.Array      # (C,) int32, -1 empty
+    mean: jax.Array      # (C, 3)
+    cov_inv: jax.Array   # (C, 3, 3) regularized inverse covariance
+    counts: jax.Array    # (C,)
+    voxel_size: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def ndt_build(points: jax.Array, mask: jax.Array, voxel_size: float,
+              capacity: int = 2 ** 15) -> NdtMap:
+    """Build per-voxel Gaussian statistics from a (masked) map cloud."""
+    n = points.shape[0]
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    h0 = _slot_hash(coords, capacity)
+    ck = _content_key(coords)
+
+    # resolve slots with the same probing scheme as the hash map
+    keys = jnp.full((capacity,), -1, jnp.int32)
+    slot = jnp.full((n,), -1, jnp.int32)
+    claim = jnp.full((capacity,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for p in range(8):
+        cand = (h0 + p) & (capacity - 1)
+        need = mask & (slot < 0)
+        existing = keys[cand]
+        want = need & (existing < 0)
+        claim = claim.at[jnp.where(want, cand, capacity - 1)].min(
+            jnp.where(want, jnp.arange(n), jnp.iinfo(jnp.int32).max))
+        won = want & (claim[cand] == jnp.arange(n))
+        keys = keys.at[jnp.where(won, cand, capacity)].set(ck, mode="drop")
+        # match against the UPDATED keys so same-round losers land in the
+        # slot their sibling point just claimed (all points of a voxel share
+        # ck and the same probe sequence)
+        match = keys[cand] == ck
+        slot = jnp.where(need & match, cand, slot)
+
+    ok = mask & (slot >= 0)
+    seg = jnp.where(ok, slot, capacity)
+    ones = ok.astype(points.dtype)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=capacity + 1)[:capacity]
+    s1 = jax.ops.segment_sum(points * ones[:, None], seg, num_segments=capacity + 1)[:capacity]
+    s2 = jax.ops.segment_sum(points[:, :, None] * points[:, None, :] * ones[:, None, None],
+                             seg, num_segments=capacity + 1)[:capacity]
+    mean = s1 / jnp.maximum(cnt, 1.0)[:, None]
+    cov = s2 / jnp.maximum(cnt, 1.0)[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    # Regularize like ndt_omp: floor covariance eigenvalues so thin (planar)
+    # voxels keep a usable basin — without this a wall voxel has ~cm normal
+    # stddev and any decimeter offset is >10 sigma, zeroing the score.
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    lam, V = jnp.linalg.eigh(cov)
+    floor = jnp.maximum(1e-2 * lam[..., 2:3], (0.1 * voxel_size) ** 2)
+    lam_c = jnp.maximum(lam, floor)
+    cov_inv = jnp.einsum("nij,nj,nkj->nik", V, 1.0 / lam_c, V)
+    good = cnt >= 4
+    keys = jnp.where(good, keys, -1)  # only well-populated voxels participate
+    return NdtMap(keys=keys, mean=mean, cov_inv=cov_inv,
+                  counts=cnt.astype(jnp.int32),
+                  voxel_size=jnp.asarray(voxel_size, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
+              q0: jax.Array, t0: jax.Array, iters: int = 30,
+              outlier_ratio: float = 0.55) -> Tuple[jax.Array, jax.Array, dict]:
+    """P2D-NDT: iterated Gauss-Newton ascent on the Gaussian-mixture score
+    (Magnusson's d1/d2 form, as in ndt_omp).
+
+    The voxel assignment is piecewise-constant, so only the smooth
+    first-order surrogate H = sum w_i g_i g_i^T is used (the exact Hessian
+    steps erratically through assignment changes).  Converges steadily from
+    up-to-half-voxel offsets; use the LIO/UKF prediction as q0/t0.
+    """
+    # Magnusson mixture constants (ndt_omp computeDerivatives)
+    res = m.voxel_size
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / (res ** 3)
+    d3 = -jnp.log(c2)
+    d1 = -jnp.log(c1 + c2) - d3
+    d2 = -2.0 * jnp.log((-jnp.log(c1 * jnp.exp(-0.5) + c2) - d3) / d1)
+
+    cap = m.capacity
+
+    def score_fn(xi, q, t):
+        qq = so3.quat_mul(q, so3.quat_from_rotvec(xi[:3]))
+        tt = t + xi[3:]
+        pw = _apply(qq, tt, source)
+        coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
+        slot = _probe_find(m.keys, coords, cap)
+        ok = mask & (slot >= 0)
+        sl = jnp.maximum(slot, 0)
+        dxv = pw - m.mean[sl]
+        md = jnp.einsum("ni,nij,nj->n", dxv, m.cov_inv[sl], dxv)
+        sc = -d1 * jnp.exp(-0.5 * d2 * md)
+        return jnp.sum(jnp.where(ok, sc, 0.0)), (ok, md)
+
+    def gn_step(carry, _):
+        q, t = carry
+        xi0 = jnp.zeros(6, source.dtype)
+        g = jax.grad(lambda xi: score_fn(xi, q, t)[0])(xi0)
+
+        def pw_fn(xi):
+            qq = so3.quat_mul(q, so3.quat_from_rotvec(xi[:3]))
+            return _apply(qq, t + xi[3:], source)
+
+        J = jax.jacfwd(pw_fn)(xi0)                          # (N, 3, 6)
+        pw = pw_fn(xi0)
+        coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
+        slot = _probe_find(m.keys, coords, cap)
+        ok = mask & (slot >= 0)
+        sl = jnp.maximum(slot, 0)
+        dxv = pw - m.mean[sl]
+        ci = m.cov_inv[sl]
+        md = jnp.einsum("ni,nij,nj->n", dxv, ci, dxv)
+        e = jnp.exp(-0.5 * d2 * md)
+        w = jnp.where(ok, jnp.abs(d1) * d2 * e, 0.0)
+        gi = jnp.einsum("ni,nij,njk->nk", dxv, ci, J)       # (N, 6) per-point grads
+        H = jnp.einsum("n,nk,nl->kl", w, gi, gi) + 1e-3 * jnp.eye(6, dtype=source.dtype)
+        # the score is a sum of positive Gaussian bumps (-d1 > 0): ASCEND it
+        dx = jnp.clip(jnp.linalg.solve(H, g), -0.5, 0.5)
+        q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
+        t_new = t + dx[3:]
+        return (q_new, t_new), jnp.stack([jnp.sum(ok.astype(jnp.float32)), jnp.linalg.norm(dx)])
+
+    (q, t), stats = jax.lax.scan(gn_step, (q0, t0), None, length=iters)
+    score, (ok, md) = score_fn(jnp.zeros(6, source.dtype), q, t)
+    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
+    info = dict(score=-score / n_ok, matched_frac=n_ok / jnp.maximum(
+        jnp.sum(mask.astype(jnp.float32)), 1.0), last_delta=stats[-1, 1])
+    return q, t, info

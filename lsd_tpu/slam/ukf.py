@@ -1,0 +1,133 @@
+"""Unscented Kalman filter pose tracker for map-based localization.
+
+Re-derivation of the reference's hdl_localization pose estimator
+(slam/localization/hdl_localization/src/pose_estimator.cpp — a UKF whose
+state stacks position, velocity, quaternion (as 4 plain components,
+re-normalized after every mean), and IMU biases; prediction is either a
+constant-velocity model or IMU-driven, correction observes the NDT pose
+[p, q]).  State (16,):
+
+    [0:3] p, [3:6] v, [6:10] q (wxyz), [10:13] bg, [13:16] ba
+
+The whole filter is tiny (33 sigma points x 16 dims) and runs as one XLA
+program per predict/correct.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+
+DIM = 16
+OBS_DIM = 7
+GRAVITY = 9.81
+
+
+class UkfState(NamedTuple):
+    x: jax.Array   # (16,)
+    P: jax.Array   # (16, 16)
+
+
+class UkfConfig(NamedTuple):
+    # alpha=1 (lambda=0) keeps all sigma weights positive — the textbook
+    # alpha=1e-3 gives weight_0 ~ -1e6, which destroys PSD-ness in f32
+    alpha: float = 1.0
+    beta: float = 2.0
+    kappa: float = 0.0
+    q_pos: float = 1e-4
+    q_vel: float = 0.5
+    q_quat: float = 1e-4
+    q_bias: float = 1e-6
+    r_pos: float = 0.01       # NDT position noise (m^2-ish)
+    r_quat: float = 0.001
+
+
+def ukf_init(pose: Optional[jax.Array] = None) -> UkfState:
+    x = jnp.zeros(DIM, jnp.float32).at[6].set(1.0)
+    if pose is not None:
+        q = so3.matrix_to_quat(pose[:3, :3])
+        x = x.at[0:3].set(pose[:3, 3]).at[6:10].set(q)
+    P = jnp.eye(DIM, dtype=jnp.float32) * 0.01
+    return UkfState(x=x, P=P)
+
+
+def _sigma_points(x, P, cfg: UkfConfig):
+    lam = cfg.alpha ** 2 * (DIM + cfg.kappa) - DIM
+    S = jnp.linalg.cholesky((DIM + lam) * (P + 1e-9 * jnp.eye(DIM)))
+    pts = jnp.concatenate([x[None, :], x[None, :] + S.T, x[None, :] - S.T], axis=0)
+    wm = jnp.full((2 * DIM + 1,), 1.0 / (2 * (DIM + lam)))
+    wm = wm.at[0].set(lam / (DIM + lam))
+    wc = wm.at[0].add(1.0 - cfg.alpha ** 2 + cfg.beta)
+    return pts, wm, wc
+
+
+def _normalize_quat(x):
+    q = so3.quat_normalize(x[..., 6:10])
+    return x.at[..., 6:10].set(q)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
+                imu_gyro: Optional[jax.Array] = None,
+                imu_acc: Optional[jax.Array] = None) -> UkfState:
+    """Propagate sigma points with const-velocity (+optional IMU) model."""
+    use_imu = imu_gyro is not None
+    pts, wm, wc = _sigma_points(st.x, st.P, cfg)
+
+    def f(s):
+        p, v, q = s[0:3], s[3:6], so3.quat_normalize(s[6:10])
+        bg, ba = s[10:13], s[13:16]
+        if use_imu:
+            w = imu_gyro - bg
+            a = imu_acc - ba
+            q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(w * dt)))
+            acc_w = so3.quat_rotate(q, a) + jnp.asarray([0.0, 0.0, -GRAVITY])
+            v_new = v + acc_w * dt
+        else:
+            q_new = q
+            v_new = v
+        p_new = p + v * dt
+        return s.at[0:3].set(p_new).at[3:6].set(v_new).at[6:10].set(q_new)
+
+    pred = jax.vmap(f)(pts)
+    mean = _normalize_quat(jnp.einsum("i,ij->j", wm, pred))
+    d = pred - mean[None, :]
+    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    Qd = jnp.concatenate([jnp.full(3, cfg.q_pos), jnp.full(3, cfg.q_vel),
+                          jnp.full(4, cfg.q_quat), jnp.full(6, cfg.q_bias)])
+    P = P + jnp.diag(Qd) * jnp.maximum(dt, 1e-3) + 1e-6 * jnp.eye(DIM)
+    return UkfState(x=mean, P=0.5 * (P + P.T))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ukf_correct(st: UkfState, obs_pos: jax.Array, obs_quat: jax.Array,
+                cfg: UkfConfig = UkfConfig()) -> UkfState:
+    """Observe [p, q] from the NDT matcher."""
+    pts, wm, wc = _sigma_points(st.x, st.P, cfg)
+    # align observation quaternion sign with the state mean
+    obs_quat = jnp.where(jnp.dot(obs_quat, st.x[6:10]) < 0, -obs_quat, obs_quat)
+
+    def h(s):
+        return jnp.concatenate([s[0:3], so3.quat_normalize(s[6:10])])
+
+    Z = jax.vmap(h)(pts)
+    z_mean = jnp.einsum("i,ij->j", wm, Z)
+    dz = Z - z_mean[None, :]
+    dx = pts - st.x[None, :]
+    R = jnp.diag(jnp.concatenate([jnp.full(3, cfg.r_pos), jnp.full(4, cfg.r_quat)]))
+    S = jnp.einsum("i,ij,ik->jk", wc, dz, dz) + R
+    C = jnp.einsum("i,ij,ik->jk", wc, dx, dz)
+    K = jnp.linalg.solve(S.T, C.T).T
+    z = jnp.concatenate([obs_pos, obs_quat])
+    x_new = _normalize_quat(st.x + K @ (z - z_mean))
+    P_new = st.P - K @ S @ K.T + 1e-6 * jnp.eye(DIM)
+    return UkfState(x=x_new, P=0.5 * (P_new + P_new.T))
+
+
+def ukf_pose(st: UkfState) -> jax.Array:
+    from ..geometry import se3
+    return se3.make_pose(so3.quat_to_matrix(st.x[6:10]), st.x[0:3])

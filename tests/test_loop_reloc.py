@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsd_tpu.geometry import so3
+from lsd_tpu.ops import hashmap_create, hashmap_insert
+from lsd_tpu.sim import CircleSim, SimConfig
+from lsd_tpu.slam.scancontext import (make_descriptor, ring_key, sc_db_create,
+                                      sc_db_add, sc_query)
+from lsd_tpu.slam.registration import icp_point_to_plane, ndt_build, ndt_align
+
+
+def scan_at(sim, t, cap=8192):
+    pts, stamps = sim.scan(t)
+    n = min(len(pts), cap)
+    P = np.zeros((cap, 3), np.float32); M = np.zeros(cap, bool)
+    P[:n], M[:n] = pts[:n, :3], True
+    return jnp.asarray(P), jnp.asarray(M)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return CircleSim(SimConfig(n_scans=2, points_per_scan=8192, seed=11))
+
+
+class TestScanContext:
+    def test_descriptor_shape_and_content(self, sim):
+        P, M = scan_at(sim, 0.0)
+        d = make_descriptor(P, M)
+        assert d.shape == (20, 60)
+        assert float(d.max()) > 0
+        assert float(d.min()) >= 0
+
+    def test_rotation_shifts_columns(self, sim):
+        P, M = scan_at(sim, 0.0)
+        d0 = make_descriptor(P, M)
+        yaw = 2 * np.pi * 12 / 60  # exactly 12 sectors
+        R = np.asarray(so3.exp_so3(jnp.asarray([0, 0, yaw])), np.float32)
+        d1 = make_descriptor(P @ R.T, M)
+        # ring keys invariant under rotation
+        np.testing.assert_allclose(np.asarray(ring_key(d0)), np.asarray(ring_key(d1)), atol=0.05)
+
+    def test_query_finds_revisit(self, sim):
+        db = sc_db_create(capacity=256)
+        descs = []
+        # visit 30 spots around the circle
+        for k in range(30):
+            P, M = scan_at(sim, k * 0.85)
+            d = make_descriptor(P, M)
+            descs.append(d)
+            db = sc_db_add(db, d)
+        # "revisit" spot 5 with a yaw change
+        P, M = scan_at(sim, 5 * 0.85)
+        yaw = 2 * np.pi * 6 / 60
+        R = np.asarray(so3.exp_so3(jnp.asarray([0, 0, yaw])), np.float32)
+        q = make_descriptor(jnp.asarray(np.asarray(P) @ R.T), M)
+        idx, dist, est_yaw = sc_query(db, q, num_candidates=10, exclude_recent=10)
+        assert int(idx) == 5, f"got {int(idx)} dist {float(dist)}"
+        assert float(dist) < 0.25
+        # yaw estimate within a couple of sector widths
+        err = abs(((float(est_yaw) + yaw + np.pi) % (2 * np.pi)) - np.pi)
+        assert min(err, abs(err - 2 * np.pi)) < 0.3
+
+    def test_query_rejects_when_empty(self):
+        db = sc_db_create(capacity=64)
+        q = jnp.ones((20, 60))
+        idx, dist, yaw = sc_query(db, q, exclude_recent=0)
+        assert int(idx) == -1 or not np.isfinite(float(dist))
+
+
+class TestIcp:
+    def test_recovers_perturbation(self, sim):
+        P, M = scan_at(sim, 0.0)
+        m = hashmap_create(capacity=2 ** 15, points_per_voxel=8, voxel_size=0.5)
+        m = hashmap_insert(m, P, M)
+        # perturb: 0.3 m translation + 3 deg yaw
+        dq = so3.quat_from_rotvec(jnp.asarray([0, 0, 0.05]))
+        dt = jnp.asarray([0.3, -0.2, 0.1])
+        src = so3.quat_rotate(so3.quat_conj(dq)[None], P - dt)
+        q, t, info = icp_point_to_plane(m, src, M,
+                                        jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3),
+                                        iters=10)
+        # recovered transform should undo the perturbation: q ~= dq, t ~= dt
+        err_t = np.linalg.norm(np.asarray(t) - np.asarray(dt))
+        err_q = 1 - abs(float(jnp.dot(q, dq)))
+        assert err_t < 0.03, f"t err {err_t}"
+        assert err_q < 1e-4
+        assert float(info["fitness"]) > 0.5
+
+
+class TestNdt:
+    def test_build_stats(self, sim):
+        P, M = scan_at(sim, 0.0)
+        m = ndt_build(P, M, voxel_size=1.0, capacity=2 ** 14)
+        occ = int((m.keys >= 0).sum())
+        assert occ > 100
+        # means must lie inside their voxel
+        sel = np.asarray(m.keys >= 0)
+        mu = np.asarray(m.mean)[sel]
+        assert np.all(np.isfinite(mu))
+
+    def test_align_recovers_perturbation(self, sim):
+        P, M = scan_at(sim, 0.0)
+        m = ndt_build(P, M, voxel_size=1.5, capacity=2 ** 14)
+        dq = so3.quat_from_rotvec(jnp.asarray([0, 0, 0.04]))
+        dt = jnp.asarray([0.4, -0.3, 0.05])
+        src = so3.quat_rotate(so3.quat_conj(dq)[None], P - dt)
+        q, t, info = ndt_align(m, src, M, jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3),
+                               iters=50)
+        err_t = np.linalg.norm(np.asarray(t) - np.asarray(dt))
+        err_q = 1 - abs(float(jnp.dot(q, dq)))
+        assert err_t < 0.1, f"t err {err_t}"
+        assert err_q < 1e-3
+        assert float(info["matched_frac"]) > 0.5

@@ -1,0 +1,157 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsd_tpu.geometry import so3
+from lsd_tpu.sim import CircleSim, SimConfig
+from lsd_tpu.slam import (Localizer, LocalizerConfig, LioConfig, Mapper,
+                          MapperConfig, map_io)
+from lsd_tpu.slam.state import init_state
+from lsd_tpu.slam.ukf import (UkfConfig, ukf_correct, ukf_init, ukf_pose,
+                              ukf_predict)
+
+
+class TestMapIO:
+    def test_map_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        stamps = [1000000, 2000000]
+        poses = [np.eye(4), np.eye(4)]
+        poses[1] = poses[1].copy()
+        poses[1][:3, 3] = (2.0, 0.5, 0.1)
+        clouds = [rng.normal(size=(100, 4)).astype(np.float32) for _ in range(2)]
+        clouds[0][:, 3] = np.abs(clouds[0][:, 3]) % 1.0
+        clouds[1][:, 3] = np.abs(clouds[1][:, 3]) % 1.0
+        T_rel = np.linalg.inv(poses[0]) @ poses[1]
+        edges = [(0, 1, T_rel, np.full(6, 100.0))]
+        d = map_io.save_map(str(tmp_path / "m"), np.asarray([42.0, -83.0, 200.0]),
+                            stamps, poses, clouds, edges, fixed=[0])
+        out = map_io.load_map(str(tmp_path / "m"))
+        assert out["ids"] == [0, 1]
+        np.testing.assert_allclose(out["poses"][1], poses[1], atol=1e-5)
+        np.testing.assert_allclose(out["origin"], [42.0, -83.0, 200.0])
+        np.testing.assert_allclose(out["clouds"][0][:, :3], clouds[0][:, :3], atol=1e-5)
+        np.testing.assert_allclose(out["clouds"][0][:, 3], clouds[0][:, 3], atol=1e-2)
+        assert len(out["edges"]) == 1
+        assert out["fixed"] == [0]
+        i, j, T, info = out["edges"][0]
+        np.testing.assert_allclose(T, T_rel, atol=1e-5)
+
+
+class TestUkf:
+    def test_predict_const_velocity(self):
+        st = ukf_init()
+        st = st._replace(x=st.x.at[3:6].set(jnp.asarray([1.0, 0, 0])))
+        st = ukf_predict(st, jnp.asarray(0.5))
+        np.testing.assert_allclose(np.asarray(st.x[0:3]), [0.5, 0, 0], atol=1e-3)
+
+    def test_correct_pulls_to_observation(self):
+        st = ukf_init()
+        obs_p = jnp.asarray([1.0, 2.0, 0.5])
+        obs_q = so3.quat_from_rotvec(jnp.asarray([0.0, 0.0, 0.3]))
+        for _ in range(25):
+            st = ukf_predict(st, jnp.asarray(0.1))
+            st = ukf_correct(st, obs_p, obs_q)
+        T = np.asarray(ukf_pose(st))
+        # const-velocity model overshoots then settles; allow ~10 cm
+        np.testing.assert_allclose(T[:3, 3], np.asarray(obs_p), atol=0.1)
+        yaw = np.asarray(so3.matrix_to_rpy(jnp.asarray(T[:3, :3])))[2]
+        assert abs(yaw - 0.3) < 0.05
+
+    def test_uncertainty_shrinks_on_correct(self):
+        st = ukf_init()
+        st = ukf_predict(st, jnp.asarray(0.1))
+        tr0 = float(jnp.trace(st.P))
+        st = ukf_correct(st, jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+        assert float(jnp.trace(st.P)) < tr0
+
+
+@pytest.fixture(scope="module")
+def mapping_run(tmp_path_factory):
+    """Run the full mapping pipeline 1.2x around a small circle."""
+    sim = CircleSim(SimConfig(radius=8.0, omega=0.8, n_scans=95,
+                              points_per_scan=8192, seed=21))
+    data = sim.generate(capacity=8192, imu_capacity=16)
+    R, p = sim.pose(0.0)
+    nav0 = init_state()._replace(
+        pos=jnp.asarray(p, jnp.float32),
+        quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+        vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+    cfg = MapperConfig(lio=LioConfig(ds_capacity=4096, map_capacity=2 ** 16,
+                                     scan_voxel=0.4, map_voxel=0.4),
+                       keyframe_delta_trans=1.5, optimize_every=8)
+    mapper = Mapper(cfg)
+    mapper.lio_state = mapper.lio_state._replace(nav=nav0)
+    gts = []
+    for k, (P_, S_, M_, I_, IM_, T_gt) in enumerate(data):
+        out = mapper.process_scan(P_, S_, M_, I_, IM_,
+                                  stamp_us=int(k * 1e5))
+        gts.append(T_gt)
+    map_dir = str(tmp_path_factory.mktemp("maps") / "circle")
+    mapper.save(map_dir)
+    return sim, mapper, gts, map_dir
+
+
+@pytest.mark.slow
+class TestMappingPipeline:
+    def test_keyframes_and_trajectory(self, mapping_run):
+        sim, mapper, gts, _ = mapping_run
+        assert len(mapper.store) > 15
+        errs = [np.linalg.norm(T[:3, 3] - G[:3, 3])
+                for (_, T), G in zip(mapper.odometry, gts)]
+        ate = np.sqrt(np.mean(np.square(errs)))
+        assert ate < 0.3, f"mapping ATE {ate:.3f}"
+
+    def test_loop_closed(self, mapping_run):
+        sim, mapper, gts, _ = mapping_run
+        # after 1.2 revolutions the mapper must have detected >=1 loop
+        assert len(mapper.loops) >= 1
+
+    def test_saved_map_loads(self, mapping_run):
+        _, mapper, _, map_dir = mapping_run
+        out = map_io.load_map(map_dir)
+        assert len(out["poses"]) == len(mapper.store)
+        assert len(out["edges"]) >= len(mapper.store) - 1
+
+
+@pytest.mark.slow
+class TestLocalization:
+    def test_relocalize_and_track(self, mapping_run):
+        sim, mapper, gts, map_dir = mapping_run
+        loc = Localizer(map_dir, LocalizerConfig())
+        # The sim world is a near-symmetric ring, so appearance-based global
+        # reloc is genuinely ambiguous; use the interactive pose hint
+        # (reference: slam_wrapper setInitPoseRange) with a ~1 m error and
+        # let ICP refine it.
+        R_h, p_h = sim.pose(30 * 0.1 + 0.037)
+        T_hint = np.eye(4)
+        T_hint[:3, :3] = R_h
+        T_hint[:3, 3] = p_h + np.asarray([0.8, -0.5, 0.1])
+        loc.set_init_pose(T_hint)
+        # feed scans from a later lap (not the exact mapped timestamps)
+        errs = []
+        for k in range(30, 45):
+            t0 = k * 0.1 + 0.037
+            pts, _ = sim.scan(t0)
+            cap = 8192
+            P = np.zeros((cap, 3), np.float32)
+            M = np.zeros(cap, bool)
+            n = min(len(pts), cap)
+            P[:n], M[:n] = pts[:n, :3], True
+            out = loc.process_scan(P, M, stamp_us=int(t0 * 1e6),
+                                   imu_gyro=sim.imu_sample(t0)[1:4],
+                                   imu_acc=sim.imu_sample(t0)[4:7] * 9.81)
+            if out["pose"] is not None:
+                R_gt, p_gt = sim.pose(t0)
+                errs.append(np.linalg.norm(out["pose"][:3, 3] - p_gt))
+        assert loc.initialized
+        assert len(errs) >= 10
+        # The localizer tracks the MAP, which itself carries ~0.6 m of
+        # mapping drift vs sim ground truth in this region (instrumented:
+        # ICP fitness 0.99 against the map while 0.62 m from sim GT).  So
+        # assert (a) bounded absolute error including map drift, and (b)
+        # stable tracking — no divergence over the window.
+        tail = np.asarray(errs[3:])
+        assert np.sqrt(np.mean(tail ** 2)) < 1.0, f"loc errors {errs}"
+        # error must plateau (tracking the map), not grow scan over scan
+        last4 = np.asarray(errs[-4:])
+        assert np.all(np.abs(np.diff(last4)) < 0.1), f"diverging: {errs}"
