@@ -1,0 +1,122 @@
+"""End-to-end CenterPoint-style detector (pillars -> BEV CNN -> heads).
+
+Assembly mirroring the reference's detection model graph
+(sensor_inference/pytorch_model/object_model/point_pillar.py:11-204, config
+semantics of sensor_inference/cfgs/detection_object.yaml) rebuilt dense-BEV
+for TPU, with a flax train step (focal heatmap + L1 regression loss, per
+CenterPoint) so the model family is trainable here, not just servable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.voxelize import voxelize_dynamic
+from .bev_backbone import BEVBackbone
+from .center_head import CenterHead, decode_boxes
+from .vfe import PillarVFE, scatter_to_bev
+
+
+class DetectorConfig(NamedTuple):
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -3.0, 51.2, 51.2, 3.0)
+    voxel_size: Tuple[float, ...] = (0.4, 0.4, 6.0)
+    max_voxels: int = 16384
+    max_points_per_voxel: int = 16
+    num_classes: int = 3
+    pillar_filters: int = 64
+    max_boxes: int = 256
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        W = int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0]))
+        H = int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1]))
+        return H, W
+
+
+class CenterPointDetector(nn.Module):
+    cfg: DetectorConfig = DetectorConfig()
+
+    @nn.compact
+    def __call__(self, points: jax.Array, mask: jax.Array) -> dict:
+        """points (N, 4), mask (N,) -> prediction maps dict."""
+        cfg = self.cfg
+        voxels, coords, num_pts, vmask = voxelize_dynamic(
+            points, mask, cfg.voxel_size, cfg.pc_range,
+            cfg.max_voxels, cfg.max_points_per_voxel)
+        feats = PillarVFE(cfg.pillar_filters, tuple(cfg.voxel_size),
+                          tuple(cfg.pc_range))(voxels, coords, num_pts)
+        feats = feats * vmask[:, None]
+        bev = scatter_to_bev(feats, coords, vmask, cfg.grid_hw)
+        x = BEVBackbone()(bev)
+        return CenterHead(num_classes=cfg.num_classes)(x)
+
+    def decode(self, preds: dict):
+        return decode_boxes(preds, self.cfg.voxel_size, self.cfg.pc_range,
+                            stride=1, max_boxes=self.cfg.max_boxes)
+
+
+# --------------------------------------------------------------------------
+# training targets + loss (CenterPoint-style)
+
+
+def make_target_maps(cfg: DetectorConfig, gt_boxes: jax.Array, gt_labels: jax.Array,
+                     gt_mask: jax.Array) -> dict:
+    """Draw Gaussian heatmap + regression targets for (G, 7) gt boxes."""
+    H, W = cfg.grid_hw
+    vx, vy = cfg.voxel_size[0], cfg.voxel_size[1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    cx = (gt_boxes[:, 0] - cfg.pc_range[0]) / vx
+    cy = (gt_boxes[:, 1] - cfg.pc_range[1]) / vy
+    radius = jnp.clip(jnp.maximum(gt_boxes[:, 3] / vx, gt_boxes[:, 4] / vy) / 2.0, 2.0, 12.0)
+
+    d2 = (xx[None] - cx[:, None, None]) ** 2 + (yy[None] - cy[:, None, None]) ** 2
+    g = jnp.exp(-d2 / (2 * (radius[:, None, None] / 3.0) ** 2))
+    g = g * gt_mask[:, None, None]
+    onehot = jax.nn.one_hot(gt_labels, cfg.num_classes)           # (G, C)
+    heatmap = jnp.max(g[:, :, :, None] * onehot[:, None, None, :], axis=0)  # (H, W, C)
+
+    # per-pixel regression targets from the nearest gt center (mask: center cell)
+    ix = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, H - 1)
+    flat = jnp.where(gt_mask, iy * W + ix, H * W)
+
+    def scatter(vals, ch):
+        tgt = jnp.zeros((H * W + 1, ch), jnp.float32)
+        return tgt.at[flat].set(vals, mode="drop")[:H * W].reshape(H, W, ch)
+
+    reg_mask = jnp.zeros((H * W + 1,), jnp.float32).at[flat].set(
+        gt_mask.astype(jnp.float32), mode="drop")[:H * W].reshape(H, W)
+    offset = scatter(jnp.stack([cx - ix, cy - iy], -1), 2)
+    z = scatter(gt_boxes[:, 2:3], 1)
+    dim = scatter(jnp.log(jnp.clip(gt_boxes[:, 3:6], 1e-3)), 3)
+    rot = scatter(jnp.stack([jnp.sin(gt_boxes[:, 6]), jnp.cos(gt_boxes[:, 6])], -1), 2)
+    return dict(heatmap=heatmap, offset=offset, z=z, dim=dim, rot=rot,
+                reg_mask=reg_mask)
+
+
+def detection_loss(preds: dict, targets: dict) -> Tuple[jax.Array, dict]:
+    """Focal heatmap loss + masked L1 regression (CenterPoint)."""
+    hm = jax.nn.sigmoid(preds["heatmap"].astype(jnp.float32))
+    hm = jnp.clip(hm, 1e-4, 1 - 1e-4)
+    t = targets["heatmap"]
+    pos = (t > 0.99).astype(jnp.float32)
+    neg_w = (1 - t) ** 4
+    pos_loss = -pos * ((1 - hm) ** 2) * jnp.log(hm)
+    neg_loss = -(1 - pos) * neg_w * (hm ** 2) * jnp.log(1 - hm)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    hm_loss = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
+
+    m = targets["reg_mask"][..., None]
+    reg_loss = 0.0
+    for k in ("offset", "z", "dim", "rot"):
+        reg_loss = reg_loss + jnp.sum(jnp.abs(preds[k].astype(jnp.float32) - targets[k]) * m)
+    reg_loss = reg_loss / jnp.maximum(jnp.sum(m), 1.0)
+
+    loss = hm_loss + 2.0 * reg_loss
+    return loss, dict(hm_loss=hm_loss, reg_loss=reg_loss)

@@ -1,0 +1,71 @@
+"""Voxel/pillar feature encoders (flax).
+
+Re-derivation of the reference's VFEs (sensor_inference/pytorch_model/
+object_model/mean_vfe.py MeanVFE; PointPillar-style pillar encoder in
+point_pillar.py) for dense-BEV TPU inference: the sparse 3D backbone of the
+reference (spconv) has no good TPU story (SURVEY.md §7 hard parts), so
+pillars + dense 2D convolutions carry the FLOPs on the MXU instead.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MeanVFE(nn.Module):
+    """Average point features per voxel (ref mean_vfe.py:10-28)."""
+
+    @nn.compact
+    def __call__(self, voxels: jax.Array, num_points: jax.Array) -> jax.Array:
+        # voxels (V, P, C); num_points (V,)
+        s = jnp.sum(voxels, axis=1)
+        return s / jnp.clip(num_points[:, None].astype(voxels.dtype), 1.0)
+
+
+class PillarVFE(nn.Module):
+    """PointNet-style pillar encoder: augment points with pillar-relative
+    offsets, per-point MLP, masked max-pool."""
+    num_filters: int = 64
+    voxel_size: Tuple[float, float, float] = (0.32, 0.32, 6.0)
+    pc_range: Tuple[float, float, float, float, float, float] = (-51.2, -51.2, -3.0, 51.2, 51.2, 3.0)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, voxels: jax.Array, coords: jax.Array,
+                 num_points: jax.Array) -> jax.Array:
+        # voxels (V, P, 4) [x y z intensity]; coords (V, 3) [z y x grid]
+        V, P, C = voxels.shape
+        npts = jnp.clip(num_points[:, None, None].astype(voxels.dtype), 1.0)
+        pmask = (jnp.arange(P)[None, :] < num_points[:, None])[..., None].astype(voxels.dtype)
+
+        mean_xyz = jnp.sum(voxels[..., :3], axis=1, keepdims=True) / npts
+        f_cluster = voxels[..., :3] - mean_xyz
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        cx = (coords[:, 2:3].astype(voxels.dtype) + 0.5) * vx + self.pc_range[0]
+        cy = (coords[:, 1:2].astype(voxels.dtype) + 0.5) * vy + self.pc_range[1]
+        f_center = voxels[..., :2] - jnp.stack([cx, cy], axis=-1).reshape(V, 1, 2)
+
+        feats = jnp.concatenate([voxels, f_cluster, f_center], axis=-1) * pmask
+        x = nn.Dense(self.num_filters, dtype=self.dtype)(feats.astype(self.dtype))
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = jnp.where(pmask > 0, x, -jnp.inf)
+        x = jnp.max(x, axis=1)
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def scatter_to_bev(features: jax.Array, coords: jax.Array, vmask: jax.Array,
+                   grid_hw: Tuple[int, int]) -> jax.Array:
+    """Scatter pillar features (V, C) to a dense BEV image (H, W, C).
+
+    coords are (V, 3) [z, y, x]; invalid pillars are dropped.
+    (ref: PointPillarScatter in point_pillar.py)
+    """
+    H, W = grid_hw
+    flat = jnp.where(vmask, coords[:, 1] * W + coords[:, 2], H * W)
+    bev = jnp.zeros((H * W + 1, features.shape[-1]), features.dtype)
+    bev = bev.at[flat].add(features)
+    return bev[:H * W].reshape(H, W, features.shape[-1])
