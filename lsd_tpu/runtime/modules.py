@@ -1,0 +1,287 @@
+"""Concrete pipeline modules: player source, SLAM, detection, sinks.
+
+Re-derivations of:
+- PlayerSource  <- module/source/player_data_manager.py (paced replay,
+  seek/rate/step control surface via export_interface)
+- SlamModule    <- module/slam/slam_manager.py + slam/slam.py shim
+- DetectModule  <- module/detect/detect_manager.py (infer -> track -> filter)
+- FrameSinkModule / UdpSinkModule / HttpSinkModule / SinkModule fan-out
+  <- module/sink/*.py
+"""
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..io.frame import frame_from_dict
+from ..io.player import FramePlayer
+from ..io.recorder import FrameRecorder
+from ..proto.detection import serialize_detection
+from ..utils.log import get_logger
+from .interface import register_interface
+from .pipeline import DataBank, Module
+
+
+class PlayerSource(Module):
+    """Offline playback source (seek / rate / pause surface)."""
+
+    def __init__(self, cfg):
+        super().__init__("Source")
+        self.cfg = cfg
+        self.player: Optional[FramePlayer] = None
+        self.rate = 1.0
+        self.playing = True
+        self.idx = 0
+        self.last_ts = None
+        self.last_wall = None
+        self.realtime = bool(getattr(getattr(cfg, "input", {}), "realtime", False))
+        register_interface("player.seek", self.seek)
+        register_interface("player.set_rate", self.set_rate)
+        register_interface("player.pause", self.pause)
+        register_interface("player.resume", self.resume)
+        register_interface("player.step", self.step)
+
+    def setup(self, cfg) -> None:
+        path = cfg.input.data_path
+        self.player = FramePlayer(path)
+        self.logger.info("player: %d frames from %s", len(self.player), path)
+
+    # control surface ---------------------------------------------------
+    def seek(self, percent: float) -> None:
+        if self.player:
+            self.idx = int(len(self.player) * max(0.0, min(percent, 100.0)) / 100.0)
+
+    def set_rate(self, rate: float) -> None:
+        self.rate = max(0.1, float(rate))
+
+    def pause(self) -> None:
+        self.playing = False
+
+    def resume(self) -> None:
+        self.playing = True
+
+    def step(self) -> None:
+        self.playing = False
+        self.idx = min(self.idx + 1, len(self.player) - 1 if self.player else 0)
+
+    # producer ----------------------------------------------------------
+    def get_data(self) -> Optional[Dict]:
+        if self.player is None or len(self.player) == 0:
+            time.sleep(0.05)
+            return None
+        if self.idx >= len(self.player):
+            # at end of data: keep re-emitting the last frame (ref
+            # loop_run_once caps current_idx and re-parses)
+            self.idx = len(self.player) - 1
+            time.sleep(0.1)
+        if not self.playing:
+            time.sleep(0.05)
+            d = self.player.read_dict(self.idx)
+            d["_source"] = "Source"
+            return d
+        d = self.player.read_dict(self.idx)
+        self.idx += 1
+        # paced replay (ref loop_run_once :193-236)
+        if self.realtime:
+            ts = d["frame_timestamp_monotonic"] / 1e6
+            now = time.monotonic()
+            if self.last_ts is not None:
+                dt = (ts - self.last_ts) / self.rate - (now - self.last_wall)
+                if 0 < dt < 0.5:
+                    time.sleep(dt)
+            self.last_ts, self.last_wall = ts, time.monotonic()
+        d["_source"] = "Source"
+        return d
+
+
+class SlamModule(Module):
+    """SLAM stage hosting the Mapper or Localizer."""
+
+    def __init__(self, cfg):
+        # offline mode blocks (no frame drops: slam_manager.py:72-84)
+        super().__init__("SLAM", blocking=cfg.input.mode == "offline")
+        self.cfg = cfg
+        self.engine = None
+        self.last_pose = np.eye(4)
+        register_interface("slam.get_pose", lambda: self.last_pose.tolist())
+
+    def setup(self, cfg) -> None:
+        from ..slam import (Localizer, LocalizerConfig, LioConfig, Mapper,
+                            MapperConfig)
+        if cfg.slam.mode == "mapping":
+            kfi = cfg.slam.key_frames_interval
+            self.engine = Mapper(MapperConfig(
+                lio=LioConfig(scan_voxel=cfg.slam.resolution,
+                              map_voxel=cfg.slam.resolution),
+                keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1]))
+            register_interface("slam.save_map", self.engine.save)
+        else:
+            self.engine = Localizer(cfg.slam.map_path, LocalizerConfig())
+            register_interface("slam.set_init_pose",
+                               lambda p: self.engine.set_init_pose(np.asarray(p)))
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        frame = frame_from_dict(d)
+        if frame.scan is None:
+            return d
+        from ..slam.mapper import Mapper
+        if isinstance(self.engine, Mapper):
+            imu = frame.imu.data if frame.imu is not None else np.zeros((1, 7))
+            imu_mask = frame.imu.mask if frame.imu is not None else np.zeros(1, bool)
+            # convert absolute us stamps to seconds relative to scan start
+            imu_rel = np.asarray(imu, np.float64).copy()
+            if imu_rel.size and imu_rel[:, 0].max() > 1e6:
+                imu_rel[:, 0] = (imu_rel[:, 0] - frame.scan.timestamp) / 1e6
+            out = self.engine.process_scan(
+                frame.scan.points[:, :3], frame.scan.stamps, frame.scan.mask,
+                imu_rel.astype(np.float32), imu_mask,
+                stamp_us=frame.scan.timestamp)
+        else:
+            out = self.engine.process_scan(frame.scan.points[:, :3],
+                                           frame.scan.mask,
+                                           stamp_us=frame.scan.timestamp)
+        if out.get("pose") is not None:
+            self.last_pose = np.asarray(out["pose"])
+        d["slam_pose"] = self.last_pose
+        return d
+
+
+class DetectModule(Module):
+    """Detection stage: model forward -> postprocess -> tracker -> filter."""
+
+    def __init__(self, cfg):
+        super().__init__("Detect", blocking=cfg.input.mode == "offline")
+        self.cfg = cfg
+        self.predict_fn = None
+        self.tracker = None
+        self.obj_filter = None
+
+    def setup(self, cfg) -> None:
+        from ..detection import ObjectFilter, Tracker3D, TrackerConfig
+        self.tracker = Tracker3D(TrackerConfig())
+        self.obj_filter = ObjectFilter()
+        # model weights are optional at runtime; predict_fn may be injected
+        # (ref: dummy_engine fallback when TRT is absent)
+
+    def set_model(self, predict_fn) -> None:
+        """predict_fn(points (N,4), mask) -> (boxes, scores, labels, mask)."""
+        self.predict_fn = predict_fn
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        frame = frame_from_dict(d)
+        if frame.scan is None or self.predict_fn is None:
+            d.setdefault("objects", [])
+            return d
+        boxes, scores, labels, bmask = self.predict_fn(frame.scan.points,
+                                                       frame.scan.mask)
+        keep = np.asarray(bmask)
+        out = self.tracker.update(np.asarray(boxes)[keep],
+                                  np.asarray(scores)[keep],
+                                  np.asarray(labels)[keep],
+                                  dt=frame.timestep / 1e6,
+                                  motion=frame.motion if frame.motion_valid else None)
+        out = self.obj_filter.filter(out)
+        d["objects"] = out["objects"]
+        return d
+
+
+class FrameSinkModule(Module):
+    """Recorder sink (ref module/sink/frame_sink.py)."""
+
+    def __init__(self, cfg):
+        super().__init__("FrameSink")
+        rec = cfg.system.record
+        self.recorder = FrameRecorder(rec.path, frames_per_log=rec.frames_per_log,
+                                      max_logs=rec.max_logs)
+        self.enabled = bool(rec.use)
+        register_interface("record.start", self.start_record)
+        register_interface("record.stop", self.stop_record)
+
+    def start_record(self) -> None:
+        self.enabled = True
+
+    def stop_record(self) -> None:
+        self.enabled = False
+        self.recorder.log_dir = None
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        if self.enabled:
+            rec = {k: v for k, v in d.items() if not k.startswith("_")}
+            self.recorder.write(rec)
+        return d
+
+
+class UdpSinkModule(Module):
+    """Protobuf Detection over UDP (ref module/sink/udp_sink.py)."""
+
+    def __init__(self, cfg):
+        super().__init__("UdpSink")
+        proto_cfg = cfg.output.protocol.UDP
+        self.enabled = bool(proto_cfg.use)
+        self.dest = (str(proto_cfg.dest), int(proto_cfg.port))
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        if self.enabled:
+            payload = serialize_detection(dict(
+                timestamp=d.get("frame_timestamp_monotonic", 0),
+                objects=d.get("objects", []),
+                fps=self.fps.fps))
+            self.sock.sendto(payload, self.dest)
+        return d
+
+
+class HttpSinkModule(Module):
+    """On-demand protobuf provider for the web preview
+    (ref module/sink/http_sink.py: serialization only runs while a client
+    polls; auto-stops 2 s after the last request)."""
+
+    def __init__(self, cfg):
+        super().__init__("HttpSink", queue_size=2)
+        self.latest: Optional[bytes] = None
+        self.last_request = 0.0
+        self._lock = threading.Lock()
+        register_interface("sink.get_proto_http", self.get_proto_http)
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        if time.monotonic() - self.last_request < 2.0:
+            payload = serialize_detection(dict(
+                timestamp=d.get("frame_timestamp_monotonic", 0),
+                objects=d.get("objects", []),
+                fps=self.fps.fps), include_points=False)
+            with self._lock:
+                self.latest = payload
+        return d
+
+    def get_proto_http(self) -> Optional[bytes]:
+        self.last_request = time.monotonic()
+        with self._lock:
+            return self.latest
+
+
+class SinkModule(Module):
+    """Fan-in sink wrapper owning the concrete sinks
+    (ref module/sink/sink_manager.py)."""
+
+    def __init__(self, cfg):
+        super().__init__("Sink")
+        self.sinks: List[Module] = [FrameSinkModule(cfg), UdpSinkModule(cfg),
+                                    HttpSinkModule(cfg), DataBank()]
+
+    def setup(self, cfg) -> None:
+        for s in self.sinks:
+            s.setup(cfg)
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        for s in self.sinks:
+            s.process(d)
+        return d
+
+    @property
+    def data_bank(self) -> DataBank:
+        return self.sinks[-1]

@@ -1,0 +1,224 @@
+"""Pipeline runtime: modules, bounded queues, backpressure, health.
+
+Re-derivation of the reference's core runtime (module/manager_template.py
+ManagerTemplate.run_loop/connect, module/module_manager.py ModuleManager
+init/setup/check_status, module/common/data_splitter.py + data_merger.py):
+
+- each Module runs a producer thread pulling ``get_data()`` from itself,
+  applying backpressure via the downstream peer's ``try_enqueue`` (frames
+  drop when the consumer is full, except offline mode which blocks so no
+  frame is lost — slam_manager.py:72-84 semantics),
+- Split fans one stream to many peers (all-peers backpressure), Merge
+  joins keyed streams,
+- a checker thread tracks per-module FPS/liveness and aggregate status.
+"""
+from __future__ import annotations
+
+import enum
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from ..utils.log import get_logger
+from ..utils.period import PeriodCalculator
+
+
+class PipelineStatus(enum.Enum):
+    INITIALIZING = "Initializing"
+    RUNNING = "Running"
+    PAUSED = "Paused"
+    STOPPED = "Stopped"
+
+
+class Module:
+    """Base pipeline stage (ref ManagerTemplate)."""
+
+    def __init__(self, name: str, queue_size: int = 3, blocking: bool = False):
+        self.name = name
+        self.queue: "queue.Queue[Dict]" = queue.Queue(maxsize=queue_size)
+        self.peers: List["Module"] = []
+        self.blocking = blocking          # offline mode: never drop
+        self.fps = PeriodCalculator()
+        self.drops = 0
+        self.frames = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.logger = get_logger(f"pipeline.{name}")
+
+    # -- wiring ---------------------------------------------------------
+    def connect(self, peer: "Module") -> None:
+        self.peers.append(peer)
+
+    # -- to override ----------------------------------------------------
+    def setup(self, cfg) -> None:
+        pass
+
+    def release(self) -> None:
+        pass
+
+    def get_data(self) -> Optional[Dict]:
+        """Produce the next frame (source) or transform the input frame."""
+        try:
+            data = self.queue.get(timeout=0.5)
+        except queue.Empty:
+            return None
+        return self.process(data)
+
+    def process(self, data: Dict) -> Optional[Dict]:
+        return data
+
+    # -- queue plumbing -------------------------------------------------
+    def try_enqueue(self) -> bool:
+        return not self.queue.full()
+
+    def enqueue(self, data: Dict) -> None:
+        if self.blocking:
+            self.queue.put(data)
+        else:
+            try:
+                self.queue.put_nowait(data)
+            except queue.Full:
+                self.drops += 1
+
+    # -- loop -----------------------------------------------------------
+    def start_loop(self) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run_loop, name=self.name,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop_loop(self, timeout: float = 2.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+
+    def _run_loop(self) -> None:
+        while not self._stop.is_set():
+            data = self.get_data()
+            if not data:
+                continue
+            self.frames += 1
+            self.fps.tick()
+            for peer in self.peers:
+                if peer.blocking or peer.try_enqueue():
+                    peer.enqueue(data)
+                else:
+                    peer.drops += 1
+
+    # -- health ---------------------------------------------------------
+    def status(self) -> Dict:
+        return dict(name=self.name, fps=round(self.fps.fps, 2),
+                    frames=self.frames, drops=self.drops,
+                    alive=self._thread.is_alive() if self._thread else False)
+
+
+class Split(Module):
+    """Fan-out stage (ref module/common/data_splitter.py): forwarding is
+    already fan-out in Module._run_loop; Split only adds all-peers
+    backpressure — the frame is forwarded only when every peer has room."""
+
+    def _run_loop(self) -> None:
+        while not self._stop.is_set():
+            data = self.get_data()
+            if not data:
+                continue
+            if all(p.blocking or p.try_enqueue() for p in self.peers):
+                self.frames += 1
+                self.fps.tick()
+                for p in self.peers:
+                    p.enqueue(data)
+            else:
+                self.drops += 1
+
+
+class Merge(Module):
+    """Keyed fan-in (ref module/common/data_merger.py): collect one frame
+    from each input key before forwarding the merged dict."""
+
+    def __init__(self, name: str, keys: List[str], queue_size: int = 3):
+        super().__init__(name, queue_size=queue_size * max(len(keys), 1))
+        self.keys = keys
+        self.pending: Dict[str, Dict] = {}
+
+    def process(self, data: Dict) -> Optional[Dict]:
+        src = data.get("_source", "")
+        self.pending[src] = data
+        if all(k in self.pending for k in self.keys):
+            merged: Dict = {}
+            for k in self.keys:
+                merged.update(self.pending.pop(k))
+            return merged
+        return None
+
+
+class DataBank(Module):
+    """Terminal cache of the latest frame (ref module/common/data_bank.py)."""
+
+    def __init__(self, name: str = "DataBank"):
+        super().__init__(name, queue_size=1)
+        self.latest: Optional[Dict] = None
+        self._lock = threading.Lock()
+
+    def process(self, data: Dict) -> Optional[Dict]:
+        with self._lock:
+            self.latest = data
+        return data
+
+    def get_latest(self) -> Optional[Dict]:
+        with self._lock:
+            return self.latest
+
+
+class ModuleManager:
+    """Builds + supervises the pipeline graph (ref module_manager.py)."""
+
+    def __init__(self, registry: Dict[str, Callable[..., Module]]):
+        self.registry = registry
+        self.modules: Dict[str, Module] = {}
+        self.status = PipelineStatus.INITIALIZING
+        self.logger = get_logger("pipeline.manager")
+        self._checker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def build(self, pipeline: List[List[str]], cfg) -> None:
+        """pipeline: list of chains, e.g. [["Source", "SLAM", "Sink"]]."""
+        names = {n for chain in pipeline for n in chain}
+        for n in names:
+            if n not in self.registry:
+                raise KeyError(f"unknown module: {n}")
+            if n not in self.modules:
+                self.modules[n] = self.registry[n](cfg)
+        for chain in pipeline:
+            for a, b in zip(chain, chain[1:]):
+                self.modules[a].connect(self.modules[b])
+        for m in self.modules.values():
+            m.setup(cfg)
+
+    def start(self) -> None:
+        for m in self.modules.values():
+            m.start_loop()
+        self.status = PipelineStatus.RUNNING
+        self._stop.clear()
+        self._checker = threading.Thread(target=self._check_loop,
+                                         name="Checker", daemon=True)
+        self._checker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        for m in self.modules.values():
+            m.stop_loop()
+            m.release()
+        self.status = PipelineStatus.STOPPED
+
+    def _check_loop(self) -> None:
+        while not self._stop.wait(5.0):
+            for m in self.modules.values():
+                st = m.status()
+                if not st["alive"]:
+                    self.logger.warning("module %s thread died", m.name)
+
+    def get_status(self) -> Dict:
+        return dict(status=self.status.value,
+                    modules={n: m.status() for n, m in self.modules.items()})
