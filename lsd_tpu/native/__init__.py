@@ -1,0 +1,139 @@
+"""ctypes bindings for the native sensor-ingest runtime (liblsd_native.so).
+
+Builds the shared library on first use (g++ is in the image; pybind11 is
+not, so the C API + ctypes is the binding layer).  Provides:
+
+- ``UdpReceiver``     — kernel-socket capture thread + SPSC packet ring
+- ``decode_vlp16``    — Velodyne VLP-16 packet batch -> (N, 4) float32
+- ``decode_custom``   — length-prefixed float32 packet format
+- ``points_postprocess`` — extrinsic transform + range/exclude filter
+
+(ref: sensor_driver/lidar_driver + network_driver, SURVEY.md N1/N6)
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "liblsd_native.so")
+_MAX_PACKET = 2048
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    src = os.path.join(_NATIVE_DIR, "src", "lsd_native.cpp")
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
+        return
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.lsd_udp_open.argtypes = [ctypes.c_uint16]
+            lib.lsd_udp_open.restype = ctypes.c_int
+            lib.lsd_udp_close.argtypes = [ctypes.c_int]
+            lib.lsd_udp_pop.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_udp_pop.restype = ctypes.c_int
+            lib.lsd_udp_stats.argtypes = [ctypes.c_int, ctypes.c_void_p]
+            lib.lsd_udp_stats.restype = ctypes.c_uint64
+            lib.lsd_decode_vlp16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_int, ctypes.c_void_p,
+                                             ctypes.c_int]
+            lib.lsd_decode_vlp16.restype = ctypes.c_int
+            lib.lsd_decode_custom.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                              ctypes.c_int, ctypes.c_void_p,
+                                              ctypes.c_int, ctypes.c_void_p]
+            lib.lsd_decode_custom.restype = ctypes.c_int
+            lib.lsd_points_postprocess.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
+            lib.lsd_points_postprocess.restype = ctypes.c_int
+            _lib = lib
+    return _lib
+
+
+class UdpReceiver:
+    def __init__(self, port: int):
+        self.lib = get_lib()
+        self.handle = self.lib.lsd_udp_open(port)
+        if self.handle < 0:
+            raise OSError(f"failed to open UDP port {port}: {self.handle}")
+
+    def pop(self, max_packets: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+        buf = np.zeros((max_packets, _MAX_PACKET), np.uint8)
+        lens = np.zeros(max_packets, np.uint32)
+        n = self.lib.lsd_udp_pop(self.handle, buf.ctypes.data, lens.ctypes.data,
+                                 max_packets)
+        return buf[:max(n, 0)], lens[:max(n, 0)]
+
+    def stats(self) -> Tuple[int, int]:
+        dropped = ctypes.c_uint64(0)
+        received = self.lib.lsd_udp_stats(self.handle, ctypes.byref(dropped))
+        return int(received), int(dropped.value)
+
+    def close(self) -> None:
+        if self.handle >= 0:
+            self.lib.lsd_udp_close(self.handle)
+            self.handle = -1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def decode_vlp16(packets: np.ndarray, lens: np.ndarray,
+                 max_points: int = 60000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_vlp16(packets.ctypes.data, lens.ctypes.data,
+                             len(lens), out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_custom(packets: np.ndarray, lens: np.ndarray,
+                  max_points: int = 200000) -> Tuple[np.ndarray, int]:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    stamp = ctypes.c_uint64(0)
+    n = lib.lsd_decode_custom(packets.ctypes.data, lens.ctypes.data,
+                              len(lens), out.ctypes.data, max_points,
+                              ctypes.byref(stamp))
+    return out[:max(n, 0)], int(stamp.value)
+
+
+def points_postprocess(points: np.ndarray, T: Optional[np.ndarray] = None,
+                       range_min: float = 0.0, range_max: float = 1e9,
+                       exclude_box: Optional[np.ndarray] = None) -> np.ndarray:
+    lib = get_lib()
+    pts = np.ascontiguousarray(points, np.float32).reshape(-1, 4).copy()
+    # keep array refs alive across the call (ctypes.data alone does not)
+    T_arr = np.ascontiguousarray(T, np.float32) if T is not None else None
+    E_arr = (np.ascontiguousarray(exclude_box, np.float32)
+             if exclude_box is not None else None)
+    n = lib.lsd_points_postprocess(
+        pts.ctypes.data, len(pts),
+        T_arr.ctypes.data if T_arr is not None else None,
+        range_min, range_max,
+        E_arr.ctypes.data if E_arr is not None else None)
+    return pts[:max(n, 0)]

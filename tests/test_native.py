@@ -1,0 +1,105 @@
+import socket
+import struct
+import time
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("lsd_tpu.native")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    try:
+        return native.get_lib()
+    except Exception as e:
+        pytest.skip(f"native build failed: {e}")
+
+
+def make_custom_packet(pts: np.ndarray, stamp_us: int = 123456789) -> bytes:
+    pts = np.asarray(pts, np.float32).reshape(-1, 4)
+    return struct.pack("<IIQ", 0x4C53444C, len(pts), stamp_us) + pts.tobytes()
+
+
+def make_vlp16_packet(dist_m: float = 10.0, azimuth_deg: float = 90.0,
+                      intensity: int = 100) -> bytes:
+    pkt = bytearray(1206)
+    for b in range(12):
+        off = b * 100
+        pkt[off:off + 2] = b"\xff\xee"
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = struct.pack("<H", az)
+        for rec in range(32):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = struct.pack("<H", int(dist_m / 0.002))
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+class TestUdpIngest:
+    def test_capture_and_decode_custom(self, lib):
+        rx = native.UdpReceiver(0)  # port 0 fails bind? use fixed ephemeral
+        rx.close()
+        port = 28999
+        rx = native.UdpReceiver(port)
+        try:
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            pts = np.asarray([[1.0, 2.0, 0.5, 0.9], [-3.0, 0.1, 1.0, 0.2]], np.float32)
+            for _ in range(3):
+                tx.sendto(make_custom_packet(pts), ("127.0.0.1", port))
+            deadline = time.time() + 2.0
+            got = 0
+            while time.time() < deadline and got < 3:
+                pk, lens = rx.pop()
+                if len(lens):
+                    out, stamp = native.decode_custom(pk, lens)
+                    got += len(lens)
+                    np.testing.assert_allclose(out[:2], pts, atol=1e-6)
+                    assert stamp == 123456789
+                time.sleep(0.01)
+            assert got >= 3
+            received, dropped = rx.stats()
+            assert received >= 3 and dropped == 0
+        finally:
+            rx.close()
+
+    def test_decode_vlp16_geometry(self, lib):
+        pkt = make_vlp16_packet(dist_m=10.0, azimuth_deg=90.0)
+        buf = np.zeros((1, 2048), np.uint8)
+        buf[0, :1206] = np.frombuffer(pkt, np.uint8)
+        out = native.decode_vlp16(buf, np.asarray([1206], np.uint32))
+        # 12 blocks x 2 seq x 16 ch = 384 returns
+        assert len(out) == 384
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 10.0, atol=0.01)
+        # azimuth 90 deg => +x direction (Velodyne: x = d sin(az), y = d cos(az))
+        ch0 = out[0]  # first channel: elev -15 deg
+        assert ch0[0] > 9.0 and abs(ch0[1]) < 0.3
+        np.testing.assert_allclose(ch0[2], -10.0 * np.sin(np.deg2rad(15.0)), atol=0.05)
+        np.testing.assert_allclose(out[:, 3], 100 / 255.0, atol=1e-6)
+
+    def test_decode_rejects_garbage(self, lib):
+        buf = np.random.default_rng(0).integers(0, 255, (4, 2048), np.uint8).astype(np.uint8)
+        out = native.decode_vlp16(buf, np.full(4, 999, np.uint32))
+        assert len(out) == 0
+        out2, _ = native.decode_custom(buf, np.full(4, 2048, np.uint32))
+        assert len(out2) == 0
+
+
+class TestPostprocess:
+    def test_transform_and_range_filter(self, lib):
+        pts = np.asarray([[1, 0, 0, 0.5], [50, 0, 0, 0.5], [0.1, 0, 0, 0.5]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 2.0  # shift +2 in x
+        out = native.points_postprocess(pts, T=T, range_min=1.0, range_max=20.0)
+        # 1+2=3 (keep), 50+2=52 (too far), 0.1+2=2.1 (keep)
+        assert len(out) == 2
+        np.testing.assert_allclose(sorted(out[:, 0].tolist()), [2.1, 3.0], atol=1e-5)
+
+    def test_exclude_box(self, lib):
+        pts = np.asarray([[1, 0, 0, 0], [5, 5, 0, 0]], np.float32)
+        box = np.asarray([-2, 2, -2, 2, -2, 2], np.float32)  # vehicle body
+        out = native.points_postprocess(pts, range_min=0.0, range_max=100.0,
+                                        exclude_box=box)
+        assert len(out) == 1
+        assert out[0, 0] == 5.0
