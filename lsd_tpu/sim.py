@@ -156,14 +156,16 @@ class CircleSim:
         batch[:, 0] -= t0
         return batch
 
-    def generate(self, capacity: int = 16384, imu_capacity: int = 16):
+    def generate(self, capacity: int = 16384, imu_capacity: int = 16,
+                 t_start: float = 0.0):
         """Yield (points, stamps, mask, imu, imu_mask, gt_pose) per scan,
-        all padded to static shapes."""
+        all padded to static shapes.  ``t_start`` offsets the trajectory
+        (e.g. a second mapping session covering a different arc)."""
         cfg = self.cfg
         period = 1.0 / cfg.scan_hz
         out = []
         for k in range(cfg.n_scans):
-            t0 = k * period
+            t0 = t_start + k * period
             pts, stamps = self.scan(t0)
             n = min(len(pts), capacity)
             P = np.zeros((capacity, 3), np.float32)

@@ -1,0 +1,188 @@
+"""Multi-session map merging.
+
+Re-derivation of the reference's map-merge flow (slam/slam.py merge_map ->
+graph_merge in backend_api.h:51, advertised multi-map auto-merging in
+README.md:31-36): load two LSD-format maps, find cross-map loop pairs with
+ScanContext, verify/refine with point-to-plane ICP, rigidly pre-align the
+second session, then jointly optimize one pose graph over both sessions'
+keyframes (optionally with the distributed factor-sharded solver).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops import hashmap_create, hashmap_insert
+from .graph_builder import PoseGraphBuilder
+from .keyframe import Keyframe, KeyframeStore
+from .map_io import load_map, save_map
+from .posegraph import PgoConfig, optimize
+from .registration import icp_point_to_plane
+from .scancontext import make_descriptor, sc_db_add, sc_db_create, sc_query
+
+
+def _pad_cloud(pts: np.ndarray):
+    cap = 1 << int(np.ceil(np.log2(max(len(pts), 2))))
+    pad = np.zeros((cap, 3), np.float32)
+    pad[:len(pts)] = pts[:, :3]
+    m = np.zeros(cap, bool)
+    m[:len(pts)] = True
+    return jnp.asarray(pad), jnp.asarray(m)
+
+
+def _store_from(data: Dict) -> KeyframeStore:
+    store = KeyframeStore()
+    for i, (s, T, c) in enumerate(zip(data["stamps"], data["poses"], data["clouds"])):
+        store.add(Keyframe(id=i, stamp_us=s, pose=np.asarray(T, float),
+                           odom=np.asarray(T, float), cloud=np.asarray(c, np.float32)))
+    return store
+
+
+def find_cross_edges(store_a: KeyframeStore, store_b: KeyframeStore,
+                     sc_thresh: float = 0.35, fitness_thresh: float = 0.4,
+                     max_pairs: int = 10) -> List[Tuple[int, int, np.ndarray]]:
+    """ScanContext + ICP cross-session matches.
+
+    Returns [(i_a, j_b, T_rel)] with T_rel = T_a_i^-1 @ T_world_of_b_j
+    expressed so that node_a_i * T_rel = pose of b_j in A's frame.
+    """
+    db = sc_db_create(capacity=2048)
+    for kf in store_a.frames:
+        P, M = _pad_cloud(kf.cloud)
+        db = sc_db_add(db, make_descriptor(P, M))
+
+    edges = []
+    for j, kf_b in enumerate(store_b.frames):
+        if len(edges) >= max_pairs:
+            break
+        P, M = _pad_cloud(kf_b.cloud)
+        idx, dist, yaw = sc_query(db, make_descriptor(P, M),
+                                  num_candidates=10, exclude_recent=0)
+        i = int(idx)
+        if i < 0 or float(dist) > sc_thresh:
+            continue
+        kf_a = store_a.frames[i]
+        # target: A's neighborhood cloud around candidate
+        ids = store_a.within_radius(kf_a.pose[:3, 3], 30.0)
+        target = store_a.merged_cloud(ids, max_points=2 ** 16)
+        if len(target) < 500:
+            continue
+        TP, TM = _pad_cloud(target)
+        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
+        m = hashmap_insert(m, TP, TM)
+        # initial guess: candidate pose with SC yaw
+        Rz = np.asarray(so3.exp_so3(jnp.asarray([0.0, 0.0, -float(yaw)], jnp.float32)))
+        R0 = kf_a.pose[:3, :3] @ Rz
+        q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
+        t0 = jnp.asarray(kf_a.pose[:3, 3], jnp.float32)
+        q, t, info = icp_point_to_plane(m, P, M, q0, t0, iters=15)
+        if float(info["fitness"]) < fitness_thresh:
+            continue
+        T_b_in_a = np.eye(4)
+        T_b_in_a[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T_b_in_a[:3, 3] = np.asarray(t)
+        T_rel = np.linalg.inv(kf_a.pose) @ T_b_in_a
+        edges.append((i, j, T_rel))
+    return _consensus_filter(store_a, store_b, edges)
+
+
+def _consensus_filter(store_a: KeyframeStore, store_b: KeyframeStore,
+                      edges: List[Tuple[int, int, np.ndarray]],
+                      trans_tol: float = 1.0, rot_tol: float = 0.15
+                      ) -> List[Tuple[int, int, np.ndarray]]:
+    """Keep the largest mutually-consistent set of cross edges.
+
+    Every correct cross edge implies the same session alignment
+    T_align = T_a_i @ T_rel @ T_b_j^-1; appearance-aliased matches (e.g.
+    in self-similar environments) imply a different one.  This plays the
+    role of the reference's max-clique consistency filtering
+    (slam/backend fast_max-clique_finder used by robust_graph_optimize).
+    """
+    if len(edges) <= 1:
+        return edges
+    aligns = [store_a.frames[i].pose @ T @ np.linalg.inv(store_b.frames[j].pose)
+              for (i, j, T) in edges]
+
+    def consistent(Ta, Tb):
+        d = np.linalg.inv(Ta) @ Tb
+        ang = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+        return (np.linalg.norm(d[:3, 3]) < trans_tol) and (ang < rot_tol)
+
+    best: List[int] = []
+    for k in range(len(edges)):
+        group = [m for m in range(len(edges)) if consistent(aligns[k], aligns[m])]
+        if len(group) > len(best):
+            best = group
+    if len(best) < 2:
+        # no consensus at all: treat every match as unreliable (forces the
+        # caller to provide an init hint rather than merging on one
+        # possibly-aliased match)
+        return []
+    return [edges[m] for m in best]
+
+
+def merge_maps(map_a_dir: str, map_b_dir: str,
+               out_dir: Optional[str] = None,
+               pgo_cfg: PgoConfig = PgoConfig(outer_iters=8, cg_iters=80),
+               init_hint: Optional[np.ndarray] = None) -> Dict:
+    """Merge session B into session A's frame.  Returns dict with the
+    merged keyframe store, builder, and cross-edge list; saves to out_dir
+    when given."""
+    da, db_ = load_map(map_a_dir), load_map(map_b_dir)
+    store_a, store_b = _store_from(da), _store_from(db_)
+
+    cross = find_cross_edges(store_a, store_b)
+    if not cross and init_hint is None:
+        raise RuntimeError("no cross-session matches found; supply init_hint")
+
+    # rigid pre-alignment of B into A's frame from the best cross pair
+    if cross:
+        i, j, T_rel = cross[0]
+        T_align = store_a.frames[i].pose @ T_rel @ np.linalg.inv(store_b.frames[j].pose)
+    else:
+        T_align = np.asarray(init_hint, float)
+    for kf in store_b.frames:
+        kf.pose = T_align @ kf.pose
+
+    # joint graph: A fixed-anchored, consecutive odometry edges per session,
+    # cross-session loop edges
+    b = PoseGraphBuilder()
+    na = len(store_a)
+    for k, kf in enumerate(store_a.frames):
+        b.add_node(kf.pose, fixed=(k == 0))
+    for k in range(na - 1):
+        T_rel_a = np.linalg.inv(store_a.frames[k].pose) @ store_a.frames[k + 1].pose
+        b.add_se3_edge(k, k + 1, T_rel_a, rot_info=400.0, trans_info=400.0)
+    for k, kf in enumerate(store_b.frames):
+        b.add_node(kf.pose)
+    for k in range(len(store_b) - 1):
+        T_rel_b = np.linalg.inv(store_b.frames[k].pose) @ store_b.frames[k + 1].pose
+        b.add_se3_edge(na + k, na + k + 1, T_rel_b, rot_info=400.0, trans_info=400.0)
+    for (i, j, T_rel) in cross:
+        b.add_se3_edge(i, na + j, T_rel, rot_info=200.0, trans_info=200.0)
+
+    g, info = optimize(b.to_data(), pgo_cfg)
+    b.update_from(g)
+    merged = KeyframeStore()
+    for k, kf in enumerate(store_a.frames + store_b.frames):
+        kf2 = Keyframe(id=k, stamp_us=kf.stamp_us, pose=b.node_pose(k).astype(float),
+                       odom=kf.odom, cloud=kf.cloud, images=kf.images)
+        merged.add(kf2)
+
+    if out_dir is not None:
+        stamps = [kf.stamp_us for kf in merged.frames]
+        poses = [kf.pose for kf in merged.frames]
+        clouds = [kf.cloud for kf in merged.frames]
+        edges_out = []
+        for (i, j, q, t, si) in b.se3:
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))
+            T[:3, 3] = t
+            edges_out.append((i, j, T, np.asarray(si[:6]) ** 2))
+        origin = da.get("origin") if da.get("origin") is not None else np.zeros(3)
+        save_map(out_dir, origin, stamps, poses, clouds, edges_out, fixed=[0])
+    return dict(store=merged, builder=b, cross_edges=cross, n_a=na,
+                n_b=len(store_b))
