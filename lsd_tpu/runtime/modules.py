@@ -147,6 +147,16 @@ class SlamModule(Module):
                                            stamp_us=frame.scan.timestamp)
         if out.get("pose") is not None:
             self.last_pose = np.asarray(out["pose"])
+            # observability: publish fused odometry on the bus
+            # (ref: slam.cpp ZCM slam.odometry publish)
+            try:
+                from ..comms import MessageBus
+                from ..comms.messages import odometry_msg
+                MessageBus.core().publish(
+                    "slam.odometry",
+                    odometry_msg(frame.scan.timestamp, self.last_pose))
+            except Exception:
+                pass
         d["slam_pose"] = self.last_pose
         return d
 

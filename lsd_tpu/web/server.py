@@ -48,8 +48,35 @@ class PerceptionServer:
             ("POST", "/v1/map-save"): lambda b: self._call_ok("slam.save_map", b.get("path", "/tmp/lsd_tpu_map")),
             ("POST", "/v1/set-init-pose"): lambda b: self._call_ok("slam.set_init_pose", b.get("pose")),
             ("GET", "/v1/slam-pose"): lambda q: {"pose": call_interface("slam.get_pose")} if has_interface("slam.get_pose") else {"pose": None},
+            ("GET", "/v1/message-meta"): self._message_meta,
+            ("POST", "/v1/message-data"): self._message_data,
+            ("POST", "/v1/ipc-enable"): self._ipc_enable,
             ("POST", "/api"): self._jsonrpc,
         }
+        self._message_server = None
+
+    # TViz backend ------------------------------------------------------
+    def _ensure_message_server(self):
+        if self._message_server is None:
+            from ..comms import MessageBus, MessageServer
+            self._message_server = MessageServer(MessageBus.core())
+        return self._message_server
+
+    def _message_meta(self, q: Dict) -> Dict:
+        return self._ensure_message_server().get_meta()
+
+    def _message_data(self, body: Dict) -> Dict:
+        srv = self._ensure_message_server()
+        ch = body.get("channel", "")
+        if body.get("field"):
+            return {"series": srv.get_series(ch, body["field"])}
+        out = srv.get_latest(ch)
+        return out if out is not None else {}
+
+    def _ipc_enable(self, body: Dict) -> Dict:
+        from ..comms import MessageBus
+        MessageBus.core().set_enabled(bool(body.get("enable", True)))
+        return {"status": "ok"}
 
     # handlers ----------------------------------------------------------
     def _restore_config(self, q: Dict) -> Dict:

@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from lsd_tpu.sensors import (Ars408Parser, InsMotionTracker, RadarObject,
+                             decode_can_obstacle_a, encode_can_frames)
+from lsd_tpu.sensors.radar import encode_ars408_object
+from lsd_tpu.sensors.can_sink import (encode_obstacle_a, encode_obstacle_b,
+                                      encode_status)
+
+
+class TestRadar:
+    def test_roundtrip_single_object(self):
+        p = Ars408Parser()
+        o = RadarObject(id=7, x=25.4, y=-3.2, vx=10.5, vy=-0.75,
+                        ax=0.5, ay=-0.1, yaw_deg=12.0, length=4.4, width=1.8, type=1)
+        assert p.feed(0x60A, b"\x01") is None  # header, empty frame
+        for can_id, data in encode_ars408_object(o):
+            assert p.feed(can_id, data) is None
+        stamp, objs = p.feed(0x60A, b"\x01")   # next header flushes
+        assert len(objs) == 1
+        g = objs[0]
+        assert g.id == 7 and g.type == 1
+        np.testing.assert_allclose([g.x, g.y], [25.4, -3.2], atol=0.2)
+        np.testing.assert_allclose([g.vx, g.vy], [10.5, -0.75], atol=0.25)
+        np.testing.assert_allclose(g.length, 4.4, atol=0.2)
+        np.testing.assert_allclose(g.yaw_deg, 12.0, atol=0.4)
+
+    def test_extrinsic_applied(self):
+        T = np.eye(4)
+        T[:3, 3] = (1.0, 0.0, 0.5)
+        p = Ars408Parser(extrinsic=T)
+        o = RadarObject(id=1, x=10.0, y=0.0)
+        p.feed(0x60A, b"\x00")
+        for cid, d in encode_ars408_object(o):
+            p.feed(cid, d)
+        _, objs = p.feed(0x60A, b"\x00")
+        np.testing.assert_allclose(objs[0].x, 11.0, atol=0.2)
+        np.testing.assert_allclose(objs[0].z, 0.5, atol=1e-6)
+
+
+class TestCanSink:
+    def test_obstacle_a_roundtrip(self):
+        frame = encode_obstacle_a(42, 12.5, -3.25, 1.0, -7.5, 2, 3, True)
+        out = decode_can_obstacle_a(frame)
+        assert out["id"] == 42 and out["type"] == 2 and out["valid"]
+        np.testing.assert_allclose(out["x"], 12.5, atol=0.0625)
+        np.testing.assert_allclose(out["y"], -3.25, atol=0.0625)
+        np.testing.assert_allclose(out["vx"], -7.5, atol=0.0625)
+
+    def test_full_frame_set(self):
+        objs = [dict(id=1, box=np.asarray([5, 2, 0, 4, 2, 1.6, 0.2]),
+                     velocity=np.asarray([3.0, 0, 0]), score=0.8, age=5,
+                     valid=True, label=0)]
+        frames = encode_can_frames(dict(objects=objs, timestamp=1000000))
+        assert frames[0][0] == 0x500
+        assert len(frames) == 1 + 3
+        assert all(len(f[1]) == 8 for f in frames)
+
+
+class TestIns:
+    def test_interpolation_and_motion(self):
+        trk = InsMotionTracker()
+        # straight east drive at 5 m/s, fixes every 100 ms
+        for k in range(11):
+            trk.feed_fix(dict(timestamp=k * 100000, latitude=42.0,
+                              longitude=-83.0 + k * 6.05e-6,  # ~0.5 m east
+                              altitude=100.0, heading=90.0, pitch=0, roll=0))
+            trk.feed_imu(k * 100000, [0, 0, 0], [0, 0, 1.0])
+        out1 = trk.trigger(250000)   # mid-interval
+        assert out1["pose"] is not None
+        out2 = trk.trigger(750000)
+        assert out2["motion_valid"]
+        # moved ~2.5 m in 0.5 s; heading 90 (east) -> body x forward
+        d = np.linalg.norm(out2["motion"][:3, 3])
+        np.testing.assert_allclose(d, 2.5, atol=0.3)
+        assert len(out2["imu"]) >= 4
+
+    def test_no_fixes(self):
+        trk = InsMotionTracker()
+        out = trk.trigger(1000)
+        assert out["pose"] is None and not out["motion_valid"]
