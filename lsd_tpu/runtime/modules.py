@@ -120,6 +120,26 @@ class SlamModule(Module):
                               map_voxel=cfg.slam.resolution),
                 keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1]))
             register_interface("slam.save_map", self.engine.save)
+            # map-editor surface (ref module/slam/slam_server.py route set)
+            eng = self.engine
+            register_interface("slam.get_graph_meta", lambda: dict(
+                vertices=[dict(id=i, fix=bool(eng.graph.fixed[i]),
+                               pose=eng.graph.node_pose(i).tolist())
+                          for i in range(eng.graph.num_nodes)],
+                edges=[dict(id=k, prev=int(e[0]), next=int(e[1]))
+                       for k, e in enumerate(eng.graph.se3)],
+                loops=[list(l) for l in eng.loops]))
+            register_interface("slam.get_key_frame", lambda i: dict(
+                id=int(i), stamp_us=eng.store[int(i)].stamp_us,
+                pose=eng.store[int(i)].pose.tolist(),
+                points=eng.store[int(i)].cloud[:, :3].tolist()))
+            register_interface("slam.add_edge",
+                               lambda i, j, T: eng.graph.add_se3_edge(
+                                   int(i), int(j), np.asarray(T, float)))
+            register_interface("slam.del_edge", lambda e: eng.graph.del_se3_edge(int(e)))
+            register_interface("slam.set_vertex_fix",
+                               lambda i, fix: eng.graph.set_fixed(int(i), bool(fix)))
+            register_interface("slam.graph_optimize", eng.optimize_graph)
         else:
             self.engine = Localizer(cfg.slam.map_path, LocalizerConfig())
             register_interface("slam.set_init_pose",

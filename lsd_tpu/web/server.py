@@ -47,6 +47,13 @@ class PerceptionServer:
             ("POST", "/v1/player-step"): lambda b: self._call_ok("player.step"),
             ("POST", "/v1/map-save"): lambda b: self._call_ok("slam.save_map", b.get("path", "/tmp/lsd_tpu_map")),
             ("POST", "/v1/set-init-pose"): lambda b: self._call_ok("slam.set_init_pose", b.get("pose")),
+            # map editor (ref slam_server.py /v1/map-* routes)
+            ("GET", "/v1/graph-meta"): lambda q: self._call_ok("slam.get_graph_meta"),
+            ("POST", "/v1/vertex-data"): lambda b: self._call_ok("slam.get_key_frame", b.get("id", 0)),
+            ("POST", "/v1/add-edge"): lambda b: self._call_ok("slam.add_edge", b.get("prev"), b.get("next"), b.get("relative")),
+            ("POST", "/v1/del-edge"): lambda b: self._call_ok("slam.del_edge", b.get("id")),
+            ("POST", "/v1/set-vertex-fix"): lambda b: self._call_ok("slam.set_vertex_fix", b.get("id"), b.get("fix", True)),
+            ("POST", "/v1/graph-optimize"): lambda b: self._call_ok("slam.graph_optimize"),
             ("GET", "/v1/slam-pose"): lambda q: {"pose": call_interface("slam.get_pose")} if has_interface("slam.get_pose") else {"pose": None},
             ("GET", "/v1/message-meta"): self._message_meta,
             ("POST", "/v1/message-data"): self._message_data,
