@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from ..geometry import so3
 from ..ops.hashmap import VoxelHashMap, hashmap_create, hashmap_insert, hashmap_knn, hashmap_trim
 from ..ops.planefit import fit_planes
+from ..ops.surfel import (SurfelMap, surfel_create, surfel_insert,
+                          surfel_match, surfel_trim)
 from ..ops.voxelize import voxel_downsample
 from .imu import ImuNoise, propagate, undistort
 from .state import (ERR_DIM, GRAVITY, IDX_V, NavState, boxminus, boxplus,
@@ -55,6 +57,8 @@ class LioConfig(NamedTuple):
                                      # 7 (faces+center) measures both faster
                                      # AND slightly more accurate than 19 on
                                      # the sim benchmark (0.021 vs 0.023 ATE)
+    map_type: str = "surfel"         # "surfel" (moment voxels, fast) or
+                                     # "points" (raw-K voxels + 5-NN fit)
     est_extrinsic: bool = False
     est_gravity: bool = False
     imu_noise: ImuNoise = ImuNoise()
@@ -74,10 +78,14 @@ def lio_init(cfg: LioConfig, nav: Optional[NavState] = None) -> LioState:
     P = jnp.eye(ERR_DIM, dtype=jnp.float32) * 1e-4
     P = P.at[9:15, 9:15].set(jnp.eye(6) * 1e-3)   # bias uncertainty
     P = P.at[15:18, 15:18].set(jnp.eye(3) * 1e-2)  # gravity
+    if cfg.map_type == "surfel":
+        m = surfel_create(cfg.map_capacity, cfg.map_voxel)
+    else:
+        m = hashmap_create(cfg.map_capacity, cfg.map_points_per_voxel, cfg.map_voxel)
     return LioState(
         nav=nav if nav is not None else init_state(),
         P=P,
-        map=hashmap_create(cfg.map_capacity, cfg.map_points_per_voxel, cfg.map_voxel),
+        map=m,
         map_center=jnp.zeros(3, jnp.float32),
         initialized=jnp.asarray(False),
         step_count=jnp.asarray(0, jnp.int32),
@@ -103,6 +111,8 @@ def _match_planes(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
     re-searches only when the iterate moved: laserMapping.cpp converge
     flag)."""
     pw = (pts_l @ nav.ext_rot.T + nav.ext_t) @ nav.rot.T + nav.pos
+    if isinstance(m, SurfelMap):
+        return surfel_match(m, pw, mask, cfg.plane_thresh)
     nbrs, nvalid = hashmap_knn(m, pw, mask, k=5, neighborhood=cfg.neighborhood)
     normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
     return normals, d, plane_ok
@@ -233,11 +243,16 @@ def lio_step(cfg: LioConfig, st: LioState,
     R = nav_new.rot
     Re = nav_new.ext_rot
     ins_w = (ins_pts[:, :3] @ Re.T + nav_new.ext_t) @ R.T + nav_new.pos
-    new_map = hashmap_insert(st.map, ins_w, ins_mask)
+    if isinstance(st.map, SurfelMap):
+        new_map = surfel_insert(st.map, ins_w, ins_mask)
+        trim_fn = surfel_trim
+    else:
+        new_map = hashmap_insert(st.map, ins_w, ins_mask)
+        trim_fn = hashmap_trim
 
     moved = jnp.linalg.norm(nav_new.pos - st.map_center) > cfg.recenter_thresh
     new_map = jax.lax.cond(
-        moved, lambda mm: hashmap_trim(mm, nav_new.pos, cfg.map_radius),
+        moved, lambda mm: trim_fn(mm, nav_new.pos, cfg.map_radius),
         lambda mm: mm, new_map)
     new_center = jnp.where(moved, nav_new.pos, st.map_center)
 
