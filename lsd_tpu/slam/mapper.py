@@ -46,6 +46,9 @@ class MapperConfig:
     loop_fitness_thresh: float = 0.4
     optimize_every: int = 10              # keyframes between PGO runs
     gps_info: float = 0.25                # 1/sigma^2 for GPS priors
+    use_floor_prior: bool = False         # RANSAC floor -> z/tilt factor
+    floor_z_info: float = 25.0
+    floor_tilt_info: float = 10.0
 
 
 class Mapper:
@@ -102,6 +105,8 @@ class Mapper:
             self.graph.add_se3_edge(kid - 1, kid, T_rel, rot_info=400.0, trans_info=400.0)
         if gps_xyz is not None:
             self.graph.add_gps_prior(kid, gps_xyz, info=cfg.gps_info)
+        if cfg.use_floor_prior:
+            self._add_floor_prior(kid, cloud)
 
         # ScanContext + loop detection
         desc = make_descriptor(jnp.asarray(pts4[:, :3]), jnp.asarray(mask))
@@ -113,6 +118,31 @@ class Mapper:
         if self._kf_since_opt >= cfg.optimize_every:
             self.optimize_graph()
         return loop
+
+    # ------------------------------------------------------------------
+    def _add_floor_prior(self, kid: int, cloud: np.ndarray) -> None:
+        """RANSAC the keyframe's ground plane (sensor frame) and add a
+        z+tilt factor (ref: hdl floor_detection_nodelet -> floor edges,
+        hdl_graph_slam_nodelet.cpp:523-597)."""
+        from ..calibration.lidar import ransac_ground_plane
+        low = cloud[cloud[:, 2] <= np.percentile(cloud[:, 2], 30) + 0.05]
+        if len(low) < 100:
+            return
+        n, d, inl = ransac_ground_plane(low[:, :3], iters=50)
+        if inl.mean() < 0.5 or abs(n[2]) < 0.9:   # not a credible floor
+            return
+        kf = self.store[kid]
+        # sensor height above the local floor (plane n.p + d = 0 in the
+        # sensor frame -> origin distance is |d|)
+        sensor_h = float(abs(d))
+        z_floor_world = kf.pose[2, 3] - sensor_h
+        # hdl assumes one planar floor: the first detection sets the datum
+        # and later keyframes are constrained to the same floor height
+        if not hasattr(self, "_floor_datum"):
+            self._floor_datum = z_floor_world
+        self.graph.add_floor_prior(kid, self._floor_datum + sensor_h,
+                                   z_info=self.cfg.floor_z_info,
+                                   tilt_info=self.cfg.floor_tilt_info)
 
     # ------------------------------------------------------------------
     def _detect_loop(self, kid: int, desc) -> Optional[Tuple[int, int]]:
