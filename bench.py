@@ -65,6 +65,34 @@ def main():
             for p, d in zip(poses, dev_data[N_WARM:])]
     scans_per_sec = N_BENCH / dt
     ate = float(np.sqrt(np.mean(np.square(errs))))
+
+    # secondary metric: pose-graph optimization throughput (BASELINE.json
+    # names PGO iters/s).  1024-node loop graph, one jitted robust-GN round
+    # (50 CG iterations) per outer iter.
+    from lsd_tpu.slam.graph_builder import PoseGraphBuilder
+    from lsd_tpu.slam.posegraph import PgoConfig, optimize
+    b = PoseGraphBuilder()
+    T = np.eye(4, dtype=np.float32)
+    b.add_node(T, fixed=True)
+    rel = np.eye(4, dtype=np.float32)
+    rel[0, 3] = 1.0
+    rng = np.random.default_rng(0)
+    for k in range(1023):
+        T = T @ rel
+        b.add_node(T)
+        b.add_se3_edge(k, k + 1, rel)
+        if k % 50 == 25:
+            b.add_gps_prior(k, T[:3, 3] + rng.normal(0, 0.05, 3))
+    g = b.to_data()
+    pcfg = PgoConfig(outer_iters=5, cg_iters=50)
+    out, _ = optimize(g, pcfg)          # compile
+    jax.block_until_ready(out.nodes.pos)
+    t0 = time.perf_counter()
+    out, _ = optimize(g, pcfg)
+    jax.block_until_ready(out.nodes.pos)
+    pgo_dt = time.perf_counter() - t0
+    pgo_iters_per_sec = pcfg.outer_iters / pgo_dt
+
     ref_scans_per_sec = 50.0
     print(json.dumps({
         "metric": "lio_scans_per_sec",
@@ -72,6 +100,7 @@ def main():
         "unit": "scans/s (32k-pt scans, 1 chip)",
         "vs_baseline": round(scans_per_sec / ref_scans_per_sec, 3),
         "ate_rmse_m": round(ate, 4),
+        "pgo_gn_rounds_per_sec_1k_nodes": round(pgo_iters_per_sec, 2),
     }))
 
 
