@@ -181,7 +181,7 @@ def nms_bev(boxes: jax.Array, scores: jax.Array, mask: jax.Array,
     masked greedy sweep over the top-``max_keep`` candidates with a
     precomputed IoU matrix — O(K^2) tensor work, no dynamic shapes.
     """
-    k = max_keep
+    k = min(max_keep, boxes.shape[0])
     s = jnp.where(mask, scores, -jnp.inf)
     top_s, top_i = jax.lax.top_k(s, k)
     cand = boxes[top_i]

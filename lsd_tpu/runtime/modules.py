@@ -181,6 +181,35 @@ class SlamModule(Module):
         return d
 
 
+def build_detector_predict_fn(weights: Optional[str] = None,
+                              det_cfg=None):
+    """Build a jitted (points, mask) -> (boxes, scores, labels, keep)
+    function from the flax CenterPoint detector (+ optional msgpack
+    weights + postprocess NMS)."""
+    import jax
+    import jax.numpy as jnp
+    from ..detection.post import PostProcessConfig, postprocess
+    from ..models import CenterPointDetector, DetectorConfig
+
+    cfg = det_cfg or DetectorConfig()
+    model = CenterPointDetector(cfg)
+    dummy_p = jnp.zeros((1024, 4), jnp.float32)
+    dummy_m = jnp.zeros(1024, bool)
+    params = model.init(jax.random.PRNGKey(0), dummy_p, dummy_m)
+    if weights:
+        from ..models.params_io import load_params
+        params = load_params(weights, params)
+    pcfg = PostProcessConfig()
+
+    @jax.jit
+    def predict(points, mask):
+        preds = model.apply(params, points[:, :4], mask)
+        boxes, scores, labels, bmask = model.decode(preds)
+        return postprocess(pcfg, boxes, scores, labels, bmask)
+
+    return predict
+
+
 class DetectModule(Module):
     """Detection stage: model forward -> postprocess -> tracker -> filter."""
 
@@ -197,6 +226,12 @@ class DetectModule(Module):
         self.obj_filter = ObjectFilter()
         # model weights are optional at runtime; predict_fn may be injected
         # (ref: dummy_engine fallback when TRT is absent)
+        if bool(getattr(cfg.detection, "enable", False)):
+            try:
+                self.predict_fn = build_detector_predict_fn(
+                    weights=getattr(cfg.detection, "weights", None))
+            except Exception as e:  # model load failure degrades gracefully
+                self.logger.warning("detector unavailable: %s", e)
 
     def set_model(self, predict_fn) -> None:
         """predict_fn(points (N,4), mask) -> (boxes, scores, labels, mask)."""

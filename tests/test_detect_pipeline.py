@@ -1,0 +1,67 @@
+import time
+
+import numpy as np
+import pytest
+
+from lsd_tpu.io.recorder import FrameRecorder
+from lsd_tpu.models import DetectorConfig
+from lsd_tpu.models.params_io import load_params, save_params
+from lsd_tpu.runtime import ConfigManager, ModuleManager, clear_interfaces
+from lsd_tpu.runtime.modules import (DetectModule, PlayerSource, SinkModule,
+                                     build_detector_predict_fn)
+from tests.test_io import make_frame_dict
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    clear_interfaces()
+    yield
+    clear_interfaces()
+
+
+class TestParamsIO:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lsd_tpu.models import CenterPointDetector
+        cfg = DetectorConfig(pc_range=(-8, -8, -3, 8, 8, 3), voxel_size=(0.5, 0.5, 6.0),
+                             max_voxels=256, max_points_per_voxel=4, max_boxes=16)
+        model = CenterPointDetector(cfg)
+        p = model.init(jax.random.PRNGKey(0), jnp.zeros((256, 4)), jnp.zeros(256, bool))
+        path = save_params(str(tmp_path / "w.msgpack"), p)
+        p2 = load_params(path, p)
+        a = jax.tree.leaves(p)[0]
+        b = jax.tree.leaves(p2)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+class TestDetectPipeline:
+    def test_source_detect_sink(self, tmp_path):
+        rec = FrameRecorder(str(tmp_path / "rec"))
+        for k in range(4):
+            rec.write(make_frame_dict(ts=1000000 + k * 100000, n=2000))
+        cfg = ConfigManager().config
+        cfg.input.data_path = rec.log_dir
+        cfg.pipeline = [["Source", "Detect", "Sink"]]
+        cfg.detection.enable = True
+        mm = ModuleManager({"Source": PlayerSource, "Detect": DetectModule,
+                            "Sink": SinkModule})
+        mm.build(cfg.pipeline, cfg)
+        # swap in a small model config for test speed
+        mm.modules["Detect"].predict_fn = build_detector_predict_fn(
+            det_cfg=DetectorConfig(pc_range=(-8, -8, -3, 8, 8, 3),
+                                   voxel_size=(0.5, 0.5, 6.0), max_voxels=512,
+                                   max_points_per_voxel=4, max_boxes=32))
+        mm.start()
+        bank = mm.modules["Sink"].data_bank
+        deadline = time.time() + 30
+        got = None
+        while time.time() < deadline:
+            got = bank.get_latest()
+            if got is not None and "objects" in got:
+                break
+            time.sleep(0.1)
+        mm.stop()
+        assert got is not None and "objects" in got
+        assert isinstance(got["objects"], list)   # untrained: likely empty
