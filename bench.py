@@ -29,7 +29,7 @@ def main():
     from lsd_tpu.geometry import so3
 
     CAP = 2 ** 15          # 32k points/scan (128-beam class)
-    N_WARM, N_BENCH = 5, 40
+    N_WARM, N_BENCH = 5, 25
 
     sim = CircleSim(SimConfig(n_scans=N_WARM + N_BENCH, points_per_scan=CAP,
                               point_noise=0.01, seed=7))
@@ -47,12 +47,15 @@ def main():
     dev_data = [tuple(jax.device_put(jnp.asarray(a)) for a in d[:5]) + (d[5],)
                 for d in data]
 
+    import sys
+    print("bench: data ready, compiling...", file=sys.stderr, flush=True)
     # warmup (compile + first device->host fetch, which pays the transport
     # session-establishment cost on tunneled TPU setups)
     for (P_, S_, M_, I_, IM_, _) in dev_data[:N_WARM]:
         st, info = lio_step(cfg, st, P_, S_, M_, I_, IM_)
     np.asarray(st.nav.pos)
 
+    print("bench: lio timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     poses = []
     for (P_, S_, M_, I_, IM_, T_gt) in dev_data[N_WARM:]:
@@ -84,7 +87,8 @@ def main():
         if k % 50 == 25:
             b.add_gps_prior(k, T[:3, 3] + rng.normal(0, 0.05, 3))
     g = b.to_data()
-    pcfg = PgoConfig(outer_iters=5, cg_iters=50)
+    pcfg = PgoConfig(outer_iters=3, cg_iters=30)
+    print("bench: pgo compile...", file=sys.stderr, flush=True)
     out, _ = optimize(g, pcfg)          # compile
     jax.block_until_ready(out.nodes.pos)
     t0 = time.perf_counter()
