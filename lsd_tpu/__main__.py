@@ -54,12 +54,20 @@ def cmd_replay(args) -> int:
     mm.build(cm.config.pipeline, cm.config)
     mm.start()
     try:
+        from .runtime.interface import call_interface, has_interface
         t0 = time.time()
         while time.time() - t0 < args.duration:
-            time.sleep(0.5)
+            time.sleep(2.0)
             st = mm.get_status()
             src = st["modules"]["Source"]
-            print(f"frames={src['frames']} fps={src['fps']}", flush=True)
+            line = f"frames={src['frames']}"
+            if "SLAM" in st["modules"]:
+                line += f" slam_frames={st['modules']['SLAM']['frames']}"
+                if has_interface("slam.get_pose"):
+                    import numpy as _np
+                    p = _np.asarray(call_interface("slam.get_pose"))[:3, 3]
+                    line += " pose=[%.2f %.2f %.2f]" % (p[0], p[1], p[2])
+            print(line, flush=True)
     finally:
         mm.stop()
     return 0

@@ -149,6 +149,14 @@ class SlamModule(Module):
         frame = frame_from_dict(d)
         if frame.scan is None:
             return d
+        # timestamp monotonicity gate (ref slam/slam.py enqueue checks):
+        # duplicate/out-of-order frames (e.g. the player re-emitting the
+        # last frame at end of data) must not be re-integrated
+        ts = frame.scan.timestamp
+        if getattr(self, "_last_ts", None) is not None and ts <= self._last_ts:
+            d["slam_pose"] = self.last_pose
+            return d
+        self._last_ts = ts
         from ..slam.mapper import Mapper
         if isinstance(self.engine, Mapper):
             imu = frame.imu.data if frame.imu is not None else np.zeros((1, 7))
