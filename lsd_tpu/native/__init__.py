@@ -59,6 +59,14 @@ def get_lib() -> ctypes.CDLL:
                                               ctypes.c_int, ctypes.c_void_p,
                                               ctypes.c_int, ctypes.c_void_p]
             lib.lsd_decode_custom.restype = ctypes.c_int
+            lib.lsd_decode_rs16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int, ctypes.c_void_p,
+                                            ctypes.c_int]
+            lib.lsd_decode_rs16.restype = ctypes.c_int
+            lib.lsd_decode_livox.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_int, ctypes.c_void_p,
+                                             ctypes.c_int, ctypes.c_void_p]
+            lib.lsd_decode_livox.restype = ctypes.c_int
             lib.lsd_points_postprocess.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
@@ -120,6 +128,38 @@ def decode_custom(packets: np.ndarray, lens: np.ndarray,
                               len(lens), out.ctypes.data, max_points,
                               ctypes.byref(stamp))
     return out[:max(n, 0)], int(stamp.value)
+
+
+def decode_rs16(packets: np.ndarray, lens: np.ndarray,
+                max_points: int = 60000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_rs16(packets.ctypes.data, lens.ctypes.data,
+                            len(lens), out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_livox(packets: np.ndarray, lens: np.ndarray,
+                 max_points: int = 200000) -> Tuple[np.ndarray, int]:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    stamp = ctypes.c_uint64(0)
+    n = lib.lsd_decode_livox(packets.ctypes.data, lens.ctypes.data,
+                             len(lens), out.ctypes.data, max_points,
+                             ctypes.byref(stamp))
+    return out[:max(n, 0)], int(stamp.value)
+
+
+DECODERS = {
+    "VLP-16": lambda pk, ln: (decode_vlp16(pk, ln), 0),
+    "RS-16": lambda pk, ln: (decode_rs16(pk, ln), 0),
+    "Livox-Mid-360": lambda pk, ln: decode_livox(pk, ln),
+    "Custom": lambda pk, ln: decode_custom(pk, ln),
+}
 
 
 def points_postprocess(points: np.ndarray, T: Optional[np.ndarray] = None,

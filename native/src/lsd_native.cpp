@@ -176,6 +176,90 @@ int lsd_decode_vlp16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
   return count;
 }
 
+// RoboSense RS16 (1248-byte MSOP packets): 42-byte header then 12 blocks x
+// (2-byte 0xFFEE flag, 2-byte azimuth BE 0.01 deg, 32 x (2-byte distance BE,
+// 1-byte intensity)); two firing sequences of 16 lasers per block; distance
+// LSB 0.25 cm.  (Reference decoder: packagePrase_RS_16 / DecoderBase.h.)
+static const float kRs16Elev[16] = {
+    -15.f, -13.f, -11.f, -9.f, -7.f, -5.f, -3.f, -1.f,
+    15.f,  13.f,  11.f,  9.f,  7.f,  5.f,  3.f,  1.f};
+
+int lsd_decode_rs16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                    float* out_xyzi, int max_points) {
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * kMaxPacket;
+    if (lens[p] != 1248) continue;
+    const uint8_t* body = pkt + 42;
+    for (int b = 0; b < 12; ++b) {
+      const uint8_t* blk = body + b * 100;
+      if (!(blk[0] == 0xFF && blk[1] == 0xEE)) continue;
+      const float az0 = ((blk[2] << 8) | blk[3]) * 0.01f;
+      float az1 = az0 + 0.36f;
+      if (b + 1 < 12) {
+        const uint8_t* nb = body + (b + 1) * 100;
+        az1 = ((nb[2] << 8) | nb[3]) * 0.01f;
+        if (az1 < az0) az1 += 360.f;
+      }
+      for (int seq = 0; seq < 2; ++seq) {
+        const float az = az0 + (az1 - az0) * 0.5f * seq;
+        const float az_rad = az * static_cast<float>(M_PI) / 180.f;
+        for (int ch = 0; ch < 16; ++ch) {
+          const uint8_t* rec = blk + 4 + (seq * 16 + ch) * 3;
+          const uint16_t dist_raw = (rec[0] << 8) | rec[1];  // big endian
+          if (dist_raw == 0 || count >= max_points) continue;
+          const float dist = dist_raw * 0.0025f;
+          const float elev = kRs16Elev[ch] * static_cast<float>(M_PI) / 180.f;
+          const float xy = dist * std::cos(elev);
+          float* o = out_xyzi + count * 4;
+          o[0] = xy * std::sin(az_rad);
+          o[1] = xy * std::cos(az_rad);
+          o[2] = dist * std::sin(elev);
+          o[3] = rec[2] / 255.0f;
+          ++count;
+        }
+      }
+    }
+  }
+  return count;
+}
+
+// Livox (Mid-360 class) point packets, data type 2 (cartesian single
+// return): 18-byte header {u8 version, u8 slot, u8 id, u8 rsvd, u32
+// status, u8 timestamp_type, u8 data_type, u64 timestamp_ns} then 96 x
+// {int32 x_mm, int32 y_mm, int32 z_mm, u8 reflectivity, u8 tag}.
+// (Reference decoder: packagePrase_Livox in lidar_driver.cpp.)
+int lsd_decode_livox(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                     float* out_xyzi, int max_points, uint64_t* stamp_ns) {
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * kMaxPacket;
+    const uint32_t len = lens[p];
+    if (len < 18) continue;
+    const uint8_t data_type = pkt[9];
+    if (data_type != 2) continue;
+    uint64_t ts;
+    std::memcpy(&ts, pkt + 10, 8);
+    if (stamp_ns && ts) *stamp_ns = ts;
+    const uint32_t n = (len - 18) / 14;
+    for (uint32_t i = 0; i < n && count < max_points; ++i) {
+      const uint8_t* rec = pkt + 18 + i * 14;
+      int32_t x, y, z;
+      std::memcpy(&x, rec, 4);
+      std::memcpy(&y, rec + 4, 4);
+      std::memcpy(&z, rec + 8, 4);
+      if (x == 0 && y == 0 && z == 0) continue;
+      float* o = out_xyzi + count * 4;
+      o[0] = x * 0.001f;
+      o[1] = y * 0.001f;
+      o[2] = z * 0.001f;
+      o[3] = rec[12] / 255.0f;
+      ++count;
+    }
+  }
+  return count;
+}
+
 // "Custom" format (reference custom decoder): little-endian header
 // {uint32 magic 0x4C53444C ("LDSL"), uint32 n_points, uint64 stamp_us}
 // followed by n_points x float32 [x y z intensity].

@@ -103,3 +103,57 @@ class TestPostprocess:
                                         exclude_box=box)
         assert len(out) == 1
         assert out[0, 0] == 5.0
+
+
+def make_rs16_packet(dist_m=10.0, azimuth_deg=90.0, intensity=80):
+    pkt = bytearray(1248)
+    for b in range(12):
+        off = 42 + b * 100
+        pkt[off:off + 2] = b"\xff\xee"
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = az.to_bytes(2, "big")
+        for rec in range(32):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = int(dist_m / 0.0025).to_bytes(2, "big")
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+def make_livox_packet(pts_mm, refl=120, stamp_ns=987654321):
+    hdr = bytearray(18)
+    hdr[9] = 2  # data type: cartesian
+    hdr[10:18] = int(stamp_ns).to_bytes(8, "little")
+    body = bytearray()
+    for (x, y, z) in pts_mm:
+        body += int(x).to_bytes(4, "little", signed=True)
+        body += int(y).to_bytes(4, "little", signed=True)
+        body += int(z).to_bytes(4, "little", signed=True)
+        body += bytes([refl, 0])
+    return bytes(hdr + body)
+
+
+class TestMoreDecoders:
+    def test_rs16(self, lib):
+        pkt = make_rs16_packet(dist_m=20.0, azimuth_deg=0.0)
+        buf = np.zeros((1, 2048), np.uint8)
+        buf[0, :1248] = np.frombuffer(pkt, np.uint8)
+        out = native.decode_rs16(buf, np.asarray([1248], np.uint32))
+        assert len(out) == 384
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 20.0, atol=0.02)
+        # azimuth 0 -> +y direction per x=d*sin(az), y=d*cos(az)
+        ch0 = out[0]
+        assert ch0[1] > 19.0 and abs(ch0[0]) < 0.3
+
+    def test_livox(self, lib):
+        pkt = make_livox_packet([(1000, -2000, 500), (0, 0, 0), (3000, 0, 0)])
+        buf = np.zeros((1, 2048), np.uint8)
+        buf[0, :len(pkt)] = np.frombuffer(pkt, np.uint8)
+        out, stamp = native.decode_livox(buf, np.asarray([len(pkt)], np.uint32))
+        assert stamp == 987654321
+        assert len(out) == 2  # zero point skipped
+        np.testing.assert_allclose(out[0, :3], [1.0, -2.0, 0.5], atol=1e-6)
+        np.testing.assert_allclose(out[0, 3], 120 / 255.0, atol=1e-6)
+
+    def test_decoder_registry(self, lib):
+        assert set(native.DECODERS) >= {"VLP-16", "RS-16", "Livox-Mid-360", "Custom"}
