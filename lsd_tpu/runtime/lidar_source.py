@@ -1,0 +1,129 @@
+"""Live LiDAR source: native UDP capture -> scan assembly -> frame dicts.
+
+Re-derivation of the reference's online lidar path (module/source/
+lidar_data_manager.py over sensor_driver/lidar_driver: per-sensor UDP
+capture thread, packet decode, scan framing, range/exclude filtering,
+extrinsic transform).  Packet capture runs in the C++ receiver
+(lsd_tpu.native); this module assembles scans at a fixed frame period (the
+reference frames by azimuth wrap or timer depending on vendor — timer
+framing is vendor-neutral) and merges multiple sensors into one frame dict.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils.log import get_logger
+from .pipeline import Module
+
+
+class LidarUnit:
+    def __init__(self, name: str, port: int, decoder: str,
+                 extrinsic: Optional[np.ndarray] = None,
+                 range_min: float = 0.5, range_max: float = 150.0,
+                 exclude_box: Optional[np.ndarray] = None,
+                 max_points: int = 200000):
+        from .. import native
+        self.name = f"{port}-{decoder}" if name is None else name
+        self.decoder_name = decoder
+        self.decode = native.DECODERS[decoder]
+        self.rx = native.UdpReceiver(port)
+        self.native = native
+        self.extrinsic = (np.asarray(extrinsic, np.float32)
+                          if extrinsic is not None else None)
+        self.range_min = range_min
+        self.range_max = range_max
+        self.exclude_box = (np.asarray(exclude_box, np.float32)
+                            if exclude_box is not None else None)
+        self.max_points = max_points
+        self._chunks: List[np.ndarray] = []
+
+    def poll(self) -> None:
+        """Drain pending packets into the current scan accumulation."""
+        while True:
+            pk, lens = self.rx.pop(256)
+            if not len(lens):
+                return
+            pts, _stamp = self.decode(pk, lens)
+            if len(pts):
+                self._chunks.append(pts)
+
+    def frame(self) -> np.ndarray:
+        """Close the current scan: filtered, transformed (N, 4)."""
+        if not self._chunks:
+            return np.zeros((0, 4), np.float32)
+        pts = np.concatenate(self._chunks, axis=0)[: self.max_points]
+        self._chunks = []
+        return self.native.points_postprocess(
+            pts, T=self.extrinsic, range_min=self.range_min,
+            range_max=self.range_max, exclude_box=self.exclude_box)
+
+    def close(self) -> None:
+        self.rx.close()
+
+
+class LidarSource(Module):
+    """Online source module: one frame dict per scan period, merging all
+    configured lidars (cfg.lidar: [{name, port, decoder/type, ...}])."""
+
+    def __init__(self, cfg):
+        super().__init__("Source")
+        self.cfg = cfg
+        self.units: List[LidarUnit] = []
+        self.period = 1.0 / float(getattr(getattr(cfg, "input", {}), "scan_hz", 10.0))
+        self._next_t = None
+
+    def setup(self, cfg) -> None:
+        for lc in cfg.lidar:
+            lc = dict(lc)
+            self.units.append(LidarUnit(
+                name=lc.get("name"),
+                port=int(lc["port"]),
+                decoder=lc.get("decoder", lc.get("type", "Custom")),
+                extrinsic=lc.get("extrinsic"),
+                range_min=float(lc.get("range_min", 0.5)),
+                range_max=float(lc.get("range_max", 150.0)),
+                exclude_box=lc.get("exclude_box")))
+        self.logger.info("online lidar source: %d unit(s)",
+                         len(self.units))
+
+    def release(self) -> None:
+        for u in self.units:
+            u.close()
+        self.units = []
+
+    def get_data(self) -> Optional[Dict]:
+        if not self.units:
+            time.sleep(0.1)
+            return None
+        now = time.monotonic()
+        if self._next_t is None:
+            self._next_t = now + self.period
+        # poll packets until the frame period elapses
+        while time.monotonic() < self._next_t:
+            for u in self.units:
+                u.poll()
+            time.sleep(0.002)
+        self._next_t += self.period
+
+        ts = int(time.monotonic() * 1e6)
+        points = {}
+        points_attr = {}
+        for u in self.units:
+            pts = u.frame()
+            if len(pts) == 0:
+                continue
+            points[u.name] = pts
+            points_attr[u.name] = dict(
+                timestamp=ts, points_attr=np.zeros((len(pts), 2), np.float32))
+        if not points:
+            return None
+        return dict(
+            frame_start_timestamp=ts, frame_timestamp_monotonic=ts,
+            points=points, points_attr=points_attr,
+            image={}, image_param={},
+            lidar_valid=True, image_valid=False, radar_valid=False,
+            ins_valid=False, ins_data={}, motion_valid=False,
+            timestep=int(self.period * 1e6), _source="Source")
