@@ -213,4 +213,4 @@ def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
         (lam1 > 4.0 * jnp.maximum(lam0, 1e-9)) & jnp.all(jnp.isfinite(normal), -1)
     normal = jnp.where(valid[:, None], normal, 0.0)
     dpl = jnp.where(valid, dpl, 0.0)
-    return normal, dpl, valid
+    return normal, dpl, valid, jnp.where(valid, rms, 0.0)

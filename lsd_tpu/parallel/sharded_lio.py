@@ -29,12 +29,11 @@ def sharded_lio_update(cfg: LioConfig, mesh: Mesh, nav_prop: NavState,
     """One iterated-update pass with points sharded over mesh axis 'dp'."""
     axis = mesh.axis_names[0]
     upd_mask = _update_mask(cfg)
-    inv_r = 1.0 / (cfg.meas_noise ** 2)
-
     def partial_info(nav_i, m, pts_shard, mask_shard):
-        H, r, valid = _measurement_system(cfg, nav_i, pts_shard, mask_shard, m)
+        H, r, valid, inv_var = _measurement_system(cfg, nav_i, pts_shard,
+                                                   mask_shard, m)
         w = valid.astype(pts_shard.dtype)
-        Hw = H * (w * inv_r)[:, None]
+        Hw = H * (w * inv_var)[:, None]
         return H.T @ Hw, Hw.T @ r
 
     @functools.partial(

@@ -37,7 +37,7 @@ class IcpOdometryConfig:
 @jax.jit
 def _align_step(m, pts, mask, q, t):
     pw = so3.quat_rotate(q[None], pts) + t
-    normals, d, ok = surfel_match(m, pw, mask, 0.15)
+    normals, d, ok, _rms = surfel_match(m, pw, mask, 0.15)
     r = jnp.einsum("ni,ni->n", pw, normals) + d
     valid = mask & ok & (jnp.abs(r) < 1.0)
     w = valid.astype(pts.dtype)

@@ -115,7 +115,7 @@ def _match_planes(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
         return surfel_match(m, pw, mask, cfg.plane_thresh)
     nbrs, nvalid = hashmap_knn(m, pw, mask, k=5, neighborhood=cfg.neighborhood)
     normals, d, plane_ok = fit_planes(nbrs, nvalid, cfg.plane_thresh)
-    return normals, d, plane_ok
+    return normals, d, plane_ok, jnp.zeros_like(d)
 
 
 def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
@@ -129,7 +129,7 @@ def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
 
     if planes is None:
         planes = _match_planes(cfg, nav, pts_l, mask, m)
-    normals, d, plane_ok = planes
+    normals, d, plane_ok, plane_rms = planes
     r = jnp.einsum("ni,ni->n", pw, normals) + d
 
     # FAST-LIO validity gate: s = 1 - 0.9 |r| / sqrt(|p_l|)
@@ -151,7 +151,10 @@ def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
     valid = valid & finite
     H = jnp.where(valid[:, None], H, 0.0)
     r = jnp.where(valid, r, 0.0)
-    return H, r, valid
+    # per-point measurement variance: base sigma + plane thickness (thick
+    # or curved surfels are downweighted; adaptive like VGICP covariances)
+    inv_var = 1.0 / (cfg.meas_noise ** 2 + plane_rms ** 2)
+    return H, r, valid, inv_var
 
 
 def _gate_degenerate(cfg: LioConfig, HtH: jax.Array):
@@ -190,7 +193,6 @@ def lio_step(cfg: LioConfig, st: LioState,
 
     upd_mask = _update_mask(cfg)
     P_inv = jnp.linalg.inv(P_prop + 1e-9 * jnp.eye(ERR_DIM))
-    inv_r = 1.0 / (cfg.meas_noise ** 2)
     inv_v = 1.0 / (cfg.vel_noise ** 2)
     vw = jnp.where(vel_obs_valid, inv_v, 0.0)
 
@@ -204,10 +206,10 @@ def lio_step(cfg: LioConfig, st: LioState,
     # with the H of the final iteration).
     def iterate(i, carry):
         nav_i, _, _ = carry
-        H, r, valid = _measurement_system(cfg, nav_i, ds_pts, ds_mask, st.map,
-                                          planes=planes)
+        H, r, valid, inv_var = _measurement_system(cfg, nav_i, ds_pts, ds_mask,
+                                                   st.map, planes=planes)
         w = valid.astype(ds_pts.dtype)
-        Hw = H * (w * inv_r)[:, None]
+        Hw = H * (w * inv_var)[:, None]
         HtH = H.T @ Hw
         Htr = Hw.T @ r
         E, n_degen = _gate_degenerate(cfg, HtH)
