@@ -42,6 +42,9 @@ class Module:
         self.fps = PeriodCalculator()
         self.drops = 0
         self.frames = 0
+        self.last_latency_ms = 0.0
+        self.latency_warn_ms = 100.0
+        self._lat_warns = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.logger = get_logger(f"pipeline.{name}")
@@ -96,9 +99,18 @@ class Module:
 
     def _run_loop(self) -> None:
         while not self._stop.is_set():
+            t0 = time.monotonic()
             data = self.get_data()
             if not data:
                 continue
+            # per-stage latency warning (ref infer_base.py:93-99,
+            # slam_template.py:59-65: warn when a stage exceeds 100 ms)
+            self.last_latency_ms = (time.monotonic() - t0) * 1000.0
+            if self.last_latency_ms > self.latency_warn_ms:
+                self._lat_warns += 1
+                if self._lat_warns % 10 == 1:
+                    self.logger.warning("%s stage took %.0f ms", self.name,
+                                        self.last_latency_ms)
             self.frames += 1
             self.fps.tick()
             for peer in self.peers:
@@ -111,6 +123,7 @@ class Module:
     def status(self) -> Dict:
         return dict(name=self.name, fps=round(self.fps.fps, 2),
                     frames=self.frames, drops=self.drops,
+                    latency_ms=round(self.last_latency_ms, 1),
                     alive=self._thread.is_alive() if self._thread else False)
 
 
@@ -213,11 +226,25 @@ class ModuleManager:
         self.status = PipelineStatus.STOPPED
 
     def _check_loop(self) -> None:
+        """Health checker (ref module_manager.py check_status:101-137):
+        liveness + a status file heartbeat written every tick so external
+        watchdogs can detect a hung boot (boot watchdog semantics)."""
+        import json
+        import os
+        import tempfile
+        status_path = os.environ.get("LSD_TPU_STATUS_FILE",
+                                     os.path.join(tempfile.gettempdir(),
+                                                  "lsd_tpu_status.json"))
         while not self._stop.wait(5.0):
             for m in self.modules.values():
                 st = m.status()
                 if not st["alive"]:
                     self.logger.warning("module %s thread died", m.name)
+            try:
+                with open(status_path, "w") as f:
+                    json.dump(self.get_status(), f)
+            except OSError:
+                pass
 
     def get_status(self) -> Dict:
         return dict(status=self.status.value,

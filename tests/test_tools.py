@@ -60,3 +60,52 @@ class TestKittiConverters:
         # yaw 0.5 rad ENU -> heading deg NED
         np.testing.assert_allclose(f.ins.heading, (90 - np.rad2deg(0.5)) % 360,
                                    atol=1e-6)
+
+
+class TestNcltConverter:
+    def _write_nclt(self, root, n_packets=12, hits_per=50):
+        import struct
+        rng = np.random.default_rng(3)
+        path = str(root / "velodyne_hits.bin")
+        with open(path, "wb") as f:
+            for k in range(n_packets):
+                utime = 1000000 + k * 25000   # 4 packets per 100ms frame
+                f.write(struct.pack("<IIQI", 0xAD9CAD9C, hits_per, utime, 0))
+                xyz = ((rng.uniform(-50, 50, (hits_per, 3)) + 100.0) / 0.005)
+                for row in xyz.astype(np.uint16):
+                    f.write(struct.pack("<HHHBB", row[0], row[1], row[2], 128, 0))
+        # ms25: utime, mag3, accel3, gyro3
+        imu = np.zeros((30, 10))
+        imu[:, 0] = 1000000 + np.arange(30) * 10000
+        imu[:, 6] = 9.81
+        imu[:, 9] = 0.05
+        np.savetxt(str(root / "ms25.csv"), imu, delimiter=",")
+        gps = np.zeros((4, 8))
+        gps[:, 0] = 1000000 + np.arange(4) * 100000
+        gps[:, 1] = 3
+        gps[:, 3] = np.deg2rad(42.29)
+        gps[:, 4] = np.deg2rad(-83.71)
+        gps[:, 5] = 270.0
+        np.savetxt(str(root / "gps.csv"), gps, delimiter=",")
+        return path
+
+    def test_convert_and_replay(self, tmp_path):
+        from lsd_tpu.tools.nclt import convert_nclt
+        vel = self._write_nclt(tmp_path)
+        log = convert_nclt(vel, str(tmp_path / "out"),
+                           ms25_csv=str(tmp_path / "ms25.csv"),
+                           gps_csv=str(tmp_path / "gps.csv"))
+        player = FramePlayer(log, point_capacity=1024)
+        frames = list(player)
+        assert len(frames) >= 2
+        f = frames[0]
+        assert f.scan.num_valid == 200  # 4 packets x 50 hits
+        pts = f.scan.points[f.scan.mask.astype(bool)]
+        assert np.all(np.abs(pts[:, :3]) < 51.0)
+        assert f.imu is not None and f.imu.mask.sum() >= 5
+        # accel converted to g units, gyro z present
+        row = f.imu.data[0]
+        np.testing.assert_allclose(row[6], 1.0, atol=0.01)   # az = 9.81 -> 1 g
+        np.testing.assert_allclose(row[3], 0.05, atol=1e-6)  # gyro z
+        assert f.ins is not None and f.ins.valid
+        np.testing.assert_allclose(f.ins.latitude, 42.29, atol=1e-6)
