@@ -5,7 +5,6 @@ talks to: setup/release/start/pause/get_config/set_config/get_status/call.
 """
 from __future__ import annotations
 
-import threading
 import traceback
 from typing import Any, Dict, Optional
 

@@ -10,7 +10,7 @@ constant-velocity prediction, and insert the aligned scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from ..geometry import so3
 from ..ops import voxel_downsample
 from ..ops.surfel import surfel_create, surfel_insert, surfel_match, surfel_trim
-from ..ops.planefit import point_to_plane
 import jax
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from .state import (ERR_DIM, IDX_BA, IDX_BG, IDX_G, IDX_P, IDX_R, IDX_V,
-                    GRAVITY, NavState, boxplus)
+                    GRAVITY, NavState)
 
 
 class ImuNoise(NamedTuple):

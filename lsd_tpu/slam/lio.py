@@ -25,7 +25,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import so3
 from ..ops.hashmap import VoxelHashMap, hashmap_create, hashmap_insert, hashmap_knn, hashmap_trim
 from ..ops.planefit import fit_planes
 from ..ops.surfel import (SurfelMap, surfel_create, surfel_insert,

@@ -11,7 +11,7 @@ a local NDT target map from the keyframes around the vehicle
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Nodes are (quat wxyz, pos) pairs; the error state is 6 per node
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
