@@ -43,7 +43,7 @@ def get_lib() -> ctypes.CDLL:
         if _lib is None:
             _build()
             lib = ctypes.CDLL(_LIB_PATH)
-            lib.lsd_udp_open.argtypes = [ctypes.c_uint16]
+            lib.lsd_udp_open.argtypes = [ctypes.c_uint16, ctypes.c_uint32]
             lib.lsd_udp_open.restype = ctypes.c_int
             lib.lsd_udp_close.argtypes = [ctypes.c_int]
             lib.lsd_udp_pop.argtypes = [ctypes.c_int, ctypes.c_void_p,
@@ -52,21 +52,29 @@ def get_lib() -> ctypes.CDLL:
             lib.lsd_udp_stats.argtypes = [ctypes.c_int, ctypes.c_void_p]
             lib.lsd_udp_stats.restype = ctypes.c_uint64
             lib.lsd_decode_vlp16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                             ctypes.c_int, ctypes.c_void_p,
-                                             ctypes.c_int]
+                                             ctypes.c_int, ctypes.c_uint32,
+                                             ctypes.c_void_p, ctypes.c_int]
             lib.lsd_decode_vlp16.restype = ctypes.c_int
             lib.lsd_decode_custom.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                              ctypes.c_int, ctypes.c_void_p,
-                                              ctypes.c_int, ctypes.c_void_p]
+                                              ctypes.c_int, ctypes.c_uint32,
+                                              ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.c_void_p]
             lib.lsd_decode_custom.restype = ctypes.c_int
             lib.lsd_decode_rs16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                            ctypes.c_int, ctypes.c_void_p,
-                                            ctypes.c_int]
+                                            ctypes.c_int, ctypes.c_uint32,
+                                            ctypes.c_void_p, ctypes.c_int]
             lib.lsd_decode_rs16.restype = ctypes.c_int
             lib.lsd_decode_livox.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                             ctypes.c_int, ctypes.c_void_p,
-                                             ctypes.c_int, ctypes.c_void_p]
+                                             ctypes.c_int, ctypes.c_uint32,
+                                             ctypes.c_void_p, ctypes.c_int,
+                                             ctypes.c_void_p]
             lib.lsd_decode_livox.restype = ctypes.c_int
+            lib.lsd_decode_ouster.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                              ctypes.c_int, ctypes.c_uint32,
+                                              ctypes.c_int, ctypes.c_void_p,
+                                              ctypes.c_void_p, ctypes.c_void_p,
+                                              ctypes.c_int]
+            lib.lsd_decode_ouster.restype = ctypes.c_int
             lib.lsd_points_postprocess.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
@@ -76,14 +84,15 @@ def get_lib() -> ctypes.CDLL:
 
 
 class UdpReceiver:
-    def __init__(self, port: int):
+    def __init__(self, port: int, max_packet: int = _MAX_PACKET):
         self.lib = get_lib()
-        self.handle = self.lib.lsd_udp_open(port)
+        self.max_packet = int(max_packet)
+        self.handle = self.lib.lsd_udp_open(port, self.max_packet)
         if self.handle < 0:
             raise OSError(f"failed to open UDP port {port}: {self.handle}")
 
     def pop(self, max_packets: int = 256) -> Tuple[np.ndarray, np.ndarray]:
-        buf = np.zeros((max_packets, _MAX_PACKET), np.uint8)
+        buf = np.zeros((max_packets, self.max_packet), np.uint8)
         lens = np.zeros(max_packets, np.uint32)
         n = self.lib.lsd_udp_pop(self.handle, buf.ctypes.data, lens.ctypes.data,
                                  max_packets)
@@ -113,7 +122,8 @@ def decode_vlp16(packets: np.ndarray, lens: np.ndarray,
     lens = np.ascontiguousarray(lens, np.uint32)
     out = np.zeros((max_points, 4), np.float32)
     n = lib.lsd_decode_vlp16(packets.ctypes.data, lens.ctypes.data,
-                             len(lens), out.ctypes.data, max_points)
+                             len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                             out.ctypes.data, max_points)
     return out[:max(n, 0)]
 
 
@@ -125,8 +135,8 @@ def decode_custom(packets: np.ndarray, lens: np.ndarray,
     out = np.zeros((max_points, 4), np.float32)
     stamp = ctypes.c_uint64(0)
     n = lib.lsd_decode_custom(packets.ctypes.data, lens.ctypes.data,
-                              len(lens), out.ctypes.data, max_points,
-                              ctypes.byref(stamp))
+                              len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                              out.ctypes.data, max_points, ctypes.byref(stamp))
     return out[:max(n, 0)], int(stamp.value)
 
 
@@ -137,7 +147,8 @@ def decode_rs16(packets: np.ndarray, lens: np.ndarray,
     lens = np.ascontiguousarray(lens, np.uint32)
     out = np.zeros((max_points, 4), np.float32)
     n = lib.lsd_decode_rs16(packets.ctypes.data, lens.ctypes.data,
-                            len(lens), out.ctypes.data, max_points)
+                            len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                            out.ctypes.data, max_points)
     return out[:max(n, 0)]
 
 
@@ -149,15 +160,48 @@ def decode_livox(packets: np.ndarray, lens: np.ndarray,
     out = np.zeros((max_points, 4), np.float32)
     stamp = ctypes.c_uint64(0)
     n = lib.lsd_decode_livox(packets.ctypes.data, lens.ctypes.data,
-                             len(lens), out.ctypes.data, max_points,
-                             ctypes.byref(stamp))
+                             len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                             out.ctypes.data, max_points, ctypes.byref(stamp))
     return out[:max(n, 0)], int(stamp.value)
 
+
+def ouster_beam_tables(n_beams: int = 64, fov_deg: float = 45.0):
+    """Default uniform beam tables (real sensors supply these in their
+    metadata JSON; pass those instead for calibrated output)."""
+    alt = np.linspace(fov_deg / 2, -fov_deg / 2, n_beams).astype(np.float32)
+    az = np.zeros(n_beams, np.float32)
+    return alt, az
+
+
+def decode_ouster(packets: np.ndarray, lens: np.ndarray,
+                  beam_alt_deg: Optional[np.ndarray] = None,
+                  beam_az_deg: Optional[np.ndarray] = None,
+                  n_beams: int = 64, max_points: int = 200000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    if beam_alt_deg is None or beam_az_deg is None:
+        beam_alt_deg, beam_az_deg = ouster_beam_tables(n_beams)
+    alt = np.ascontiguousarray(beam_alt_deg, np.float32)
+    az = np.ascontiguousarray(beam_az_deg, np.float32)
+    n_beams = len(alt)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_ouster(packets.ctypes.data, lens.ctypes.data,
+                              len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                              n_beams, alt.ctypes.data, az.ctypes.data,
+                              out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+OUSTER_PACKET_BYTES = {64: 16 * (16 + 64 * 12 + 4),
+                       128: 16 * (16 + 128 * 12 + 4)}
 
 DECODERS = {
     "VLP-16": lambda pk, ln: (decode_vlp16(pk, ln), 0),
     "RS-16": lambda pk, ln: (decode_rs16(pk, ln), 0),
     "Livox-Mid-360": lambda pk, ln: decode_livox(pk, ln),
+    "Ouster-OS1": lambda pk, ln: (decode_ouster(pk, ln, n_beams=64), 0),
+    "Ouster-OS1-128": lambda pk, ln: (decode_ouster(pk, ln, n_beams=128), 0),
     "Custom": lambda pk, ln: decode_custom(pk, ln),
 }
 

@@ -23,6 +23,7 @@
 #include <map>
 #include <mutex>
 #include <thread>
+#include <vector>
 
 #include "ring_buffer.h"
 
@@ -31,10 +32,13 @@ namespace {
 constexpr size_t kMaxPacket = 2048;
 
 struct Receiver {
+  explicit Receiver(size_t max_packet)
+      : ring(8192, max_packet), max_packet(max_packet) {}
   int fd = -1;
   std::thread thread;
   std::atomic<bool> running{false};
-  lsd::PacketRing ring{8192, kMaxPacket};
+  lsd::PacketRing ring;
+  size_t max_packet;
   uint64_t received = 0;
 };
 
@@ -43,11 +47,11 @@ std::map<int, Receiver*> g_receivers;
 int g_next_handle = 1;
 
 void recv_loop(Receiver* r) {
-  uint8_t buf[kMaxPacket];
+  std::vector<uint8_t> buf(r->max_packet);
   while (r->running.load(std::memory_order_relaxed)) {
-    const ssize_t n = ::recv(r->fd, buf, sizeof(buf), 0);
+    const ssize_t n = ::recv(r->fd, buf.data(), buf.size(), 0);
     if (n > 0) {
-      r->ring.push(buf, static_cast<size_t>(n));
+      r->ring.push(buf.data(), static_cast<size_t>(n));
       ++r->received;
     } else if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
       continue;  // timeout tick: re-check running flag
@@ -62,7 +66,8 @@ extern "C" {
 // ---------------------------------------------------------------------------
 // UDP receiver lifecycle
 
-int lsd_udp_open(uint16_t port) {
+int lsd_udp_open(uint16_t port, uint32_t max_packet) {
+  if (max_packet == 0) max_packet = kMaxPacket;
   int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
   int reuse = 1;
@@ -79,7 +84,7 @@ int lsd_udp_open(uint16_t port) {
     ::close(fd);
     return -2;
   }
-  auto* r = new Receiver();
+  auto* r = new Receiver(max_packet);
   r->fd = fd;
   r->running = true;
   r->thread = std::thread(recv_loop, r);
@@ -135,10 +140,10 @@ static const float kVlp16Elev[16] = {
 
 // decode packets (n x 2048 stride, lens) -> xyzi float array; returns count.
 int lsd_decode_vlp16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
-                     float* out_xyzi, int max_points) {
+                     uint32_t stride, float* out_xyzi, int max_points) {
   int count = 0;
   for (int p = 0; p < n_pkts; ++p) {
-    const uint8_t* pkt = pkts + p * kMaxPacket;
+    const uint8_t* pkt = pkts + p * stride;
     if (lens[p] != 1206) continue;
     // azimuth interpolation between consecutive blocks
     for (int b = 0; b < 12; ++b) {
@@ -185,10 +190,10 @@ static const float kRs16Elev[16] = {
     15.f,  13.f,  11.f,  9.f,  7.f,  5.f,  3.f,  1.f};
 
 int lsd_decode_rs16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
-                    float* out_xyzi, int max_points) {
+                    uint32_t stride, float* out_xyzi, int max_points) {
   int count = 0;
   for (int p = 0; p < n_pkts; ++p) {
-    const uint8_t* pkt = pkts + p * kMaxPacket;
+    const uint8_t* pkt = pkts + p * stride;
     if (lens[p] != 1248) continue;
     const uint8_t* body = pkt + 42;
     for (int b = 0; b < 12; ++b) {
@@ -230,10 +235,10 @@ int lsd_decode_rs16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
 // {int32 x_mm, int32 y_mm, int32 z_mm, u8 reflectivity, u8 tag}.
 // (Reference decoder: packagePrase_Livox in lidar_driver.cpp.)
 int lsd_decode_livox(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
-                     float* out_xyzi, int max_points, uint64_t* stamp_ns) {
+                     uint32_t stride, float* out_xyzi, int max_points, uint64_t* stamp_ns) {
   int count = 0;
   for (int p = 0; p < n_pkts; ++p) {
-    const uint8_t* pkt = pkts + p * kMaxPacket;
+    const uint8_t* pkt = pkts + p * stride;
     const uint32_t len = lens[p];
     if (len < 18) continue;
     const uint8_t data_type = pkt[9];
@@ -260,14 +265,66 @@ int lsd_decode_livox(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
   return count;
 }
 
+// Ouster LEGACY profile (OS1/OS2): packets of 16 measurement blocks, each
+// {u64 timestamp, u16 measurement_id, u16 frame_id, u32 encoder_count}
+// followed by n_beams x {u32 range_mm (bits 19:0), u16 reflectivity,
+// u16 signal, u16 noise, u16 pad} (12 bytes) and a u32 block status.
+// Azimuth = 2*pi*(1 - encoder/90112) + beam_azimuth; elevation from the
+// sensor's beam-altitude table (metadata JSON).  Packet size for 64 beams:
+// 16*(16 + 64*12 + 4) = 12608 bytes.  (Reference: packagePrase_Ouster.)
+int lsd_decode_ouster(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                      uint32_t stride, int n_beams, const float* beam_alt_deg,
+                      const float* beam_az_deg, float* out_xyzi,
+                      int max_points) {
+  const size_t block_size = 16 + static_cast<size_t>(n_beams) * 12 + 4;
+  const size_t pkt_size = 16 * block_size;
+  const float two_pi = 2.0f * static_cast<float>(M_PI);
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] < pkt_size) continue;
+    for (int b = 0; b < 16; ++b) {
+      const uint8_t* blk = pkt + b * block_size;
+      uint32_t status;
+      std::memcpy(&status, blk + block_size - 4, 4);
+      if (status != 0xFFFFFFFFu) continue;  // invalid azimuth block
+      uint32_t encoder;
+      std::memcpy(&encoder, blk + 12, 4);
+      const float theta_enc = two_pi * (1.0f - encoder / 90112.0f);
+      for (int ch = 0; ch < n_beams; ++ch) {
+        const uint8_t* rec = blk + 16 + ch * 12;
+        uint32_t range_raw;
+        std::memcpy(&range_raw, rec, 4);
+        range_raw &= 0x000FFFFFu;
+        if (range_raw == 0 || count >= max_points) continue;
+        const float r = range_raw * 0.001f;
+        const float az =
+            theta_enc + beam_az_deg[ch] * static_cast<float>(M_PI) / 180.f;
+        const float elev =
+            beam_alt_deg[ch] * static_cast<float>(M_PI) / 180.f;
+        uint16_t refl;
+        std::memcpy(&refl, rec + 4, 2);
+        float* o = out_xyzi + count * 4;
+        const float xy = r * std::cos(elev);
+        o[0] = xy * std::cos(az);
+        o[1] = xy * std::sin(az);
+        o[2] = r * std::sin(elev);
+        o[3] = std::min(refl / 255.0f, 1.0f);
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
 // "Custom" format (reference custom decoder): little-endian header
 // {uint32 magic 0x4C53444C ("LDSL"), uint32 n_points, uint64 stamp_us}
 // followed by n_points x float32 [x y z intensity].
 int lsd_decode_custom(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
-                      float* out_xyzi, int max_points, uint64_t* stamp_us) {
+                      uint32_t stride, float* out_xyzi, int max_points, uint64_t* stamp_us) {
   int count = 0;
   for (int p = 0; p < n_pkts; ++p) {
-    const uint8_t* pkt = pkts + p * kMaxPacket;
+    const uint8_t* pkt = pkts + p * stride;
     const uint32_t len = lens[p];
     if (len < 16) continue;
     uint32_t magic, n;

@@ -157,3 +157,65 @@ class TestMoreDecoders:
 
     def test_decoder_registry(self, lib):
         assert set(native.DECODERS) >= {"VLP-16", "RS-16", "Livox-Mid-360", "Custom"}
+
+
+def make_ouster_packet(n_beams=64, range_m=15.0, encoder=22528, refl=200):
+    import struct as st
+    block_size = 16 + n_beams * 12 + 4
+    pkt = bytearray(16 * block_size)
+    for b in range(16):
+        off = b * block_size
+        pkt[off:off + 8] = st.pack("<Q", 1000 + b)
+        pkt[off + 8:off + 10] = st.pack("<H", b)
+        pkt[off + 10:off + 12] = st.pack("<H", 1)
+        pkt[off + 12:off + 16] = st.pack("<I", (encoder + b * 88) % 90112)
+        for ch in range(n_beams):
+            r = off + 16 + ch * 12
+            pkt[r:r + 4] = st.pack("<I", int(range_m * 1000))
+            pkt[r + 4:r + 6] = st.pack("<H", refl)
+        pkt[off + block_size - 4:off + block_size] = st.pack("<I", 0xFFFFFFFF)
+    return bytes(pkt)
+
+
+class TestOuster:
+    def test_decode_geometry(self, lib):
+        n_beams = 64
+        pkt = make_ouster_packet(n_beams=n_beams, range_m=15.0, encoder=0)
+        size = len(pkt)
+        buf = np.zeros((1, size), np.uint8)
+        buf[0] = np.frombuffer(pkt, np.uint8)
+        alt, az = native.ouster_beam_tables(n_beams, fov_deg=45.0)
+        out = native.decode_ouster(buf, np.asarray([size], np.uint32),
+                                   beam_alt_deg=alt, beam_az_deg=az)
+        assert len(out) == 16 * n_beams
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 15.0, atol=0.01)
+        # first block: encoder 0 -> azimuth 2pi -> +x
+        first = out[:n_beams]
+        assert np.all(first[:, 0] > 10.0)
+        # elevation spread covers the fov
+        z = first[:, 2]
+        assert z.max() > 5.0 and z.min() < -5.0
+        np.testing.assert_allclose(out[:, 3], min(200 / 255.0, 1.0), atol=1e-6)
+
+    def test_receiver_large_packets(self, lib):
+        import socket as sk
+        size = native.OUSTER_PACKET_BYTES[64]
+        rx = native.UdpReceiver(28887, max_packet=16384)
+        try:
+            tx = sk.socket(sk.AF_INET, sk.SOCK_DGRAM)
+            pkt = make_ouster_packet()
+            tx.sendto(pkt, ("127.0.0.1", 28887))
+            import time as t
+            deadline = t.time() + 2
+            got = 0
+            while t.time() < deadline and not got:
+                pk, lens = rx.pop(8)
+                if len(lens):
+                    assert lens[0] == size
+                    out = native.decode_ouster(pk, lens)
+                    got = len(out)
+                t.sleep(0.01)
+            assert got == 16 * 64
+        finally:
+            rx.close()
