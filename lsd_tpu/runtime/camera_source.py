@@ -1,0 +1,108 @@
+"""Camera source: cv2 capture -> JPEG-compressed frames in the frame dict.
+
+Re-derivation of module/source/camera_data_manager.py: per-camera capture
+(v4l2 device index, video file, RTSP/HTTP URL — cv2.VideoCapture handles
+the gstreamer-style sources the reference builds pipelines for), per-camera
+image parameters (intrinsics + lidar->camera extrinsic), JPEG encoding for
+the wire/preview path.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+    HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    HAS_CV2 = False
+
+from .pipeline import Module
+
+
+class CameraUnit:
+    def __init__(self, name: str, source, intrinsic=None, extrinsic=None,
+                 jpeg_quality: int = 85):
+        if not HAS_CV2:
+            raise RuntimeError("cv2 unavailable; camera source disabled")
+        self.name = name
+        self.cap = cv2.VideoCapture(source)
+        if not self.cap.isOpened():
+            raise OSError(f"camera source {source!r} failed to open")
+        self.intrinsic = intrinsic
+        self.extrinsic = extrinsic
+        self.jpeg_quality = int(jpeg_quality)
+
+    def grab(self) -> Optional[bytes]:
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        ok, enc = cv2.imencode(".jpg", frame,
+                               [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+        return enc.tobytes() if ok else None
+
+    def params(self) -> Dict:
+        return dict(intrinsic=self.intrinsic, extrinsic=self.extrinsic,
+                    timestamp=int(time.monotonic() * 1e6))
+
+    def close(self) -> None:
+        try:
+            self.cap.release()
+        except Exception:
+            pass
+
+
+class CameraSource(Module):
+    """Standalone camera source module (cfg.camera: [{name, source,
+    intrinsic?, extrinsic?}]); emits image-only frame dicts at frame rate."""
+
+    def __init__(self, cfg):
+        super().__init__("CameraSource")
+        self.cfg = cfg
+        self.units: List[CameraUnit] = []
+        self.period = 1.0 / float(getattr(getattr(cfg, "input", {}), "camera_hz", 10.0))
+
+    def setup(self, cfg) -> None:
+        for cc in getattr(cfg, "camera", []):
+            cc = dict(cc)
+            try:
+                self.units.append(CameraUnit(
+                    name=str(cc.get("name", len(self.units))),
+                    source=cc.get("source", cc.get("device", 0)),
+                    intrinsic=cc.get("intrinsic"),
+                    extrinsic=cc.get("extrinsic")))
+            except (OSError, RuntimeError) as e:
+                self.logger.warning("camera %s unavailable: %s", cc.get("name"), e)
+
+    def release(self) -> None:
+        for u in self.units:
+            u.close()
+        self.units = []
+
+    def get_data(self) -> Optional[Dict]:
+        if not self.units:
+            time.sleep(0.1)
+            return None
+        t0 = time.monotonic()
+        images = {}
+        params = {}
+        for u in self.units:
+            jpg = u.grab()
+            if jpg is not None:
+                images[u.name] = jpg
+                params[u.name] = u.params()
+        dt = self.period - (time.monotonic() - t0)
+        if dt > 0:
+            time.sleep(dt)
+        if not images:
+            return None
+        ts = int(time.monotonic() * 1e6)
+        return dict(frame_start_timestamp=ts, frame_timestamp_monotonic=ts,
+                    points={}, points_attr={},
+                    image=images, image_param=params,
+                    lidar_valid=False, image_valid=True, radar_valid=False,
+                    ins_valid=False, ins_data={}, motion_valid=False,
+                    timestep=int(self.period * 1e6), _source="CameraSource")
