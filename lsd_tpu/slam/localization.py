@@ -41,9 +41,25 @@ class Localizer:
         self.cfg = cfg
         data = load_map(map_dir)
         self.store = KeyframeStore()
-        for i, (s, T, c) in enumerate(zip(data["stamps"], data["poses"], data["clouds"])):
-            self.store.add(Keyframe(id=i, stamp_us=s, pose=T, odom=T, cloud=c))
+        kf_images = data.get("images") or [{}] * len(data["stamps"])
+        for i, (s, T, c, im) in enumerate(zip(data["stamps"], data["poses"],
+                                              data["clouds"], kf_images)):
+            self.store.add(Keyframe(id=i, stamp_us=s, pose=T, odom=T, cloud=c,
+                                    images=im))
         self.origin = data["origin"]
+        # visual (ORB) relocalization DB over keyframe images, when present
+        self.visual_db = None
+        try:
+            from .visual_reloc import VisualRelocDB
+            db = VisualRelocDB()
+            for kf in self.store.frames:
+                for img in kf.images.values():
+                    db.add(kf.id, img)
+                    break
+            if len(db):
+                self.visual_db = db
+        except RuntimeError:
+            pass
         # ScanContext DB over keyframe clouds (in their own frame)
         self.sc_db = sc_db_create(capacity=4096)
         for kf in self.store.frames:
@@ -84,8 +100,9 @@ class Localizer:
         self.map_center = np.asarray(center, float).copy()
 
     # ------------------------------------------------------------------
-    def _relocalize(self, points, mask) -> Optional[np.ndarray]:
-        """ScanContext (or hint) -> ICP verify -> initial pose."""
+    def _relocalize(self, points, mask, image=None) -> Optional[np.ndarray]:
+        """Hint / ScanContext / ORB-visual -> ICP verify -> initial pose
+        (ref global_localization.cpp dual SC+ORB threads)."""
         cand_pose = None
         yaw0 = 0.0
         if self.init_hint is not None:
@@ -94,10 +111,15 @@ class Localizer:
             desc = make_descriptor(jnp.asarray(points[:, :3]), jnp.asarray(mask))
             idx, dist, yaw = sc_query(self.sc_db, desc, num_candidates=10,
                                       exclude_recent=0)
-            if int(idx) < 0 or float(dist) > self.cfg.reloc_sc_thresh:
+            if int(idx) >= 0 and float(dist) <= self.cfg.reloc_sc_thresh:
+                cand_pose = self.store[int(idx)].pose
+                yaw0 = float(yaw)
+            elif image is not None and self.visual_db is not None:
+                hits = self.visual_db.query(image)
+                if hits:
+                    cand_pose = self.store[hits[0][0]].pose
+            if cand_pose is None:
                 return None
-            cand_pose = self.store[int(idx)].pose
-            yaw0 = float(yaw)
         # verify + refine with ICP against the neighborhood map
         center = cand_pose[:3, 3]
         ids = self.store.within_radius(center, self.cfg.local_map_radius)
@@ -126,12 +148,12 @@ class Localizer:
 
     # ------------------------------------------------------------------
     def process_scan(self, points, mask, stamp_us: int,
-                     imu_gyro=None, imu_acc=None) -> Dict:
+                     imu_gyro=None, imu_acc=None, image=None) -> Dict:
         """Feed one padded scan (sensor frame). Returns dict(pose, status)."""
         points = np.asarray(points, np.float32)
         mask = np.asarray(mask, bool)
         if not self.initialized:
-            T = self._relocalize(points, mask)
+            T = self._relocalize(points, mask, image=image)
             if T is None:
                 return dict(pose=None, status="relocalizing")
             self.ukf = ukf_init(jnp.asarray(T, jnp.float32))

@@ -61,8 +61,9 @@ def save_keyframe(graph_dir: str, idx: int, stamp_us: int, points: np.ndarray,
     return d
 
 
-def load_keyframe(kf_dir: str) -> Tuple[int, np.ndarray, np.ndarray]:
-    """Returns (stamp_us, pose 4x4, points (N,4) with intensity /255)."""
+def load_keyframe(kf_dir: str) -> Tuple[int, np.ndarray, np.ndarray, Dict[str, bytes]]:
+    """Returns (stamp_us, pose 4x4, points (N,4) with intensity /255,
+    images {name: jpeg bytes})."""
     stamp_us, pose, kid = 0, np.eye(4), -1
     with open(os.path.join(kf_dir, "data")) as f:
         tokens = f.read().split()
@@ -84,7 +85,17 @@ def load_keyframe(kf_dir: str) -> Tuple[int, np.ndarray, np.ndarray]:
     pts = read_pcd(os.path.join(kf_dir, "cloud.pcd"))
     if pts.shape[1] >= 4:
         pts[:, 3] = pts[:, 3] / 255.0
-    return stamp_us, pose, pts
+    images: Dict[str, bytes] = {}
+    meta_path = os.path.join(kf_dir, "meta")
+    if os.path.exists(meta_path):
+        tokens = open(meta_path).read().split()
+        if tokens and tokens[0] == "image":
+            for name in tokens[2:2 + int(tokens[1])]:
+                ip = os.path.join(kf_dir, name + ".jpg")
+                if os.path.exists(ip):
+                    with open(ip, "rb") as imf:
+                        images[name] = imf.read()
+    return stamp_us, pose, pts, images
 
 
 def save_odometry(graph_dir: str, stamps_us: List[int], poses: List[np.ndarray]) -> None:
@@ -206,15 +217,17 @@ def load_map(map_dir: str):
     g2of = os.path.join(graph_dir, "graph.g2o")
     if os.path.exists(g2of):
         g2o_poses, edges, fixed = load_g2o(g2of)
-    stamps, poses, clouds = [], [], []
+    stamps, poses, clouds, images = [], [], [], []
     kf_ids = sorted(int(d) for d in os.listdir(graph_dir)
                     if d.isdigit() and os.path.isdir(os.path.join(graph_dir, d)))
     for i in kf_ids:
-        s, T, pts = load_keyframe(os.path.join(graph_dir, "%06d" % i))
+        s, T, pts, imgs = load_keyframe(os.path.join(graph_dir, "%06d" % i))
         if i in g2o_poses:
             T = g2o_poses[i]
         stamps.append(s)
         poses.append(T)
         clouds.append(pts)
+        images.append(imgs)
     return dict(origin=origin, meta=meta, stamps=stamps, poses=poses,
-                clouds=clouds, edges=edges, fixed=fixed, ids=kf_ids)
+                clouds=clouds, images=images, edges=edges, fixed=fixed,
+                ids=kf_ids)

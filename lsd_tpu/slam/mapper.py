@@ -68,7 +68,8 @@ class Mapper:
     # ------------------------------------------------------------------
     def process_scan(self, points, stamps, mask, imu, imu_mask,
                      stamp_us: int = 0, gps_xyz=None,
-                     vel_obs=None, vel_obs_valid=None) -> Dict:
+                     vel_obs=None, vel_obs_valid=None,
+                     images=None) -> Dict:
         """Feed one (padded) scan; returns dict(pose, is_keyframe, info)."""
         cfg = self.cfg
         self.lio_state, info = lio_step(
@@ -82,11 +83,12 @@ class Mapper:
         is_kf = self.updater.is_update(pose)
         loop = None
         if is_kf:
-            loop = self._add_keyframe(points, mask, pose, stamp_us, gps_xyz)
+            loop = self._add_keyframe(points, mask, pose, stamp_us, gps_xyz,
+                                      images=images)
         return dict(pose=pose, is_keyframe=is_kf, loop=loop, info=info)
 
     # ------------------------------------------------------------------
-    def _add_keyframe(self, points, mask, pose, stamp_us, gps_xyz):
+    def _add_keyframe(self, points, mask, pose, stamp_us, gps_xyz, images=None):
         cfg = self.cfg
         pts4 = np.asarray(points, np.float32)
         if pts4.shape[1] == 3:
@@ -96,7 +98,8 @@ class Mapper:
         cloud = np.asarray(ds)[np.asarray(ds_mask)]
 
         kf = Keyframe(id=-1, stamp_us=stamp_us, pose=pose.copy(), odom=pose.copy(),
-                      cloud=cloud, accum_distance=self.updater.accum_distance)
+                      cloud=cloud, images=dict(images or {}),
+                      accum_distance=self.updater.accum_distance)
         kid = self.store.add(kf)
         self.graph.add_node(pose, fixed=(kid == 0))
         if kid > 0:
@@ -221,7 +224,8 @@ class Mapper:
             edges.append((i, j, T, np.asarray(si[:6]) ** 2))
         origin = self.origin_lla if self.origin_lla is not None else np.zeros(3)
         return save_map(map_dir, origin, stamps, poses, clouds, edges,
-                        fixed=[i for i, f in enumerate(self.graph.fixed) if f])
+                        fixed=[i for i, f in enumerate(self.graph.fixed) if f],
+                        images=[kf.images for kf in self.store.frames])
 
     def trajectory(self) -> np.ndarray:
         return np.stack([T for _, T in self.odometry]) if self.odometry else np.zeros((0, 4, 4))
