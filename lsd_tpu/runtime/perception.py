@@ -12,13 +12,14 @@ from ..utils.log import get_logger, set_logger_level
 from .config import CheckResult, ConfigManager
 from .interface import call_interface, register_interface
 from .modules import (DetectModule, PlayerSource, SinkModule, SlamModule)
-from .pipeline import ModuleManager, PipelineStatus
+from .pipeline import Merge, ModuleManager, PipelineStatus, Split
 
 DEFAULT_REGISTRY = {
     "Source": PlayerSource,
     "SLAM": SlamModule,
     "Detect": DetectModule,
     "Sink": SinkModule,
+    "Split": lambda cfg: Split("Split"),
 }
 
 

@@ -178,3 +178,39 @@ class TestPipeline:
         assert "Source" in status["modules"]
         dump = p.dump()
         assert "thread" in dump
+
+
+class TestFanOutPipeline:
+    def test_split_pipeline(self, tmp_path):
+        """Reference-style fan-out: [[Source, Split], [Split, Sink]] plus a
+        second consumer chain off the same Split."""
+        from lsd_tpu.runtime.pipeline import Split, DataBank
+        rec = FrameRecorder(str(tmp_path / "rec"))
+        for k in range(5):
+            rec.write(make_frame_dict(ts=1000000 + k * 100000))
+        cfg = ConfigManager().config
+        cfg.input.data_path = rec.log_dir
+        cfg.pipeline = [["Source", "Split"], ["Split", "SinkA"], ["Split", "SinkB"]]
+        banks = {}
+
+        def make_bank(name):
+            def f(cfg):
+                b = DataBank(name)
+                banks[name] = b
+                return b
+            return f
+
+        mm = ModuleManager({"Source": PlayerSource,
+                            "Split": lambda cfg: Split("Split"),
+                            "SinkA": make_bank("SinkA"),
+                            "SinkB": make_bank("SinkB")})
+        mm.build(cfg.pipeline, cfg)
+        mm.start()
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if all(b.get_latest() is not None for b in banks.values()):
+                break
+            time.sleep(0.05)
+        mm.stop()
+        assert banks["SinkA"].get_latest() is not None
+        assert banks["SinkB"].get_latest() is not None
