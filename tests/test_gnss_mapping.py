@@ -1,0 +1,43 @@
+"""BASELINE config #3 semantics: LIO with GNSS factors + outlier-gated PGO."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsd_tpu.geometry import so3
+from lsd_tpu.sim import CircleSim, SimConfig
+from lsd_tpu.slam import LioConfig, Mapper, MapperConfig
+from lsd_tpu.slam.state import init_state
+
+
+@pytest.mark.slow
+class TestGnssMapping:
+    def test_mapping_with_gps_priors_and_outliers(self):
+        sim = CircleSim(SimConfig(radius=8.0, omega=0.8, n_scans=50,
+                                  points_per_scan=4096, seed=88,
+                                  gyro_noise=0.003, acc_noise=0.005,
+                                  point_noise=0.01))
+        data = sim.generate(capacity=4096, imu_capacity=16)
+        R, p = sim.pose(0.0)
+        nav0 = init_state()._replace(
+            pos=jnp.asarray(p, jnp.float32),
+            quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+            vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+        cfg = MapperConfig(lio=LioConfig(ds_capacity=2048, map_capacity=2 ** 15,
+                                         scan_voxel=0.4, map_voxel=0.4),
+                           keyframe_delta_trans=1.5, optimize_every=8,
+                           gps_info=1.0)
+        m = Mapper(cfg)
+        m.lio_state = m.lio_state._replace(nav=nav0)
+        rng = np.random.default_rng(0)
+        for k, (P_, S_, M_, I_, IM_, T_gt) in enumerate(data):
+            gps = T_gt[:3, 3] + rng.normal(0, 0.05, 3)
+            if k in (12, 30):                 # gross GNSS outliers (20 m)
+                gps = gps + np.asarray([20.0, -15.0, 0.0])
+            m.process_scan(P_, S_, M_, I_, IM_, stamp_us=int(k * 1e5),
+                           gps_xyz=gps)
+        m.optimize_graph()
+        # every keyframe must sit on the true circle despite the outliers
+        pos = m.store.positions()
+        r = np.linalg.norm(pos[:, :2], axis=1)
+        assert np.all(np.abs(r - 8.0) < 0.5), f"radii {r.min():.2f}..{r.max():.2f}"
+        assert len(m.graph.gps) >= len(m.store) - 1
