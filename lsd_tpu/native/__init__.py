@@ -4,8 +4,10 @@ Builds the shared library on first use (g++ is in the image; pybind11 is
 not, so the C API + ctypes is the binding layer).  Provides:
 
 - ``UdpReceiver``     — kernel-socket capture thread + SPSC packet ring
-- ``decode_vlp16``    — Velodyne VLP-16 packet batch -> (N, 4) float32
-- ``decode_custom``   — length-prefixed float32 packet format
+                        (per-port packet size; Ouster needs ~12.6 KB slots)
+- ``decode_vlp16`` / ``decode_rs16`` / ``decode_livox`` / ``decode_ouster``
+  / ``decode_custom`` — vendor packet batches -> (N, 4) float32 (see
+  DECODERS registry keyed by cfg lidar names)
 - ``points_postprocess`` — extrinsic transform + range/exclude filter
 
 (ref: sensor_driver/lidar_driver + network_driver, SURVEY.md N1/N6)

@@ -67,7 +67,7 @@ class LioConfig(NamedTuple):
 class LioState(NamedTuple):
     nav: NavState
     P: jax.Array              # (24, 24)
-    map: VoxelHashMap
+    map: "SurfelMap | VoxelHashMap"   # per cfg.map_type
     map_center: jax.Array     # (3,)
     initialized: jax.Array    # () bool — map seeded
     step_count: jax.Array     # () int32
