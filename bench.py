@@ -29,7 +29,7 @@ def main():
     from lsd_tpu.geometry import so3
 
     CAP = 2 ** 15          # 32k points/scan (128-beam class)
-    N_WARM, N_BENCH = 5, 25
+    N_WARM, N_BENCH = 5, 200
 
     sim = CircleSim(SimConfig(n_scans=N_WARM + N_BENCH, points_per_scan=CAP,
                               point_noise=0.01, seed=7))
@@ -49,11 +49,14 @@ def main():
 
     import sys
     print("bench: data ready, compiling...", file=sys.stderr, flush=True)
-    # warmup (compile + first device->host fetch, which pays the transport
-    # session-establishment cost on tunneled TPU setups)
+    # Warmup (compile). IMPORTANT: no device->host fetch before or during the
+    # timed sections — on tunneled TPU transports the first D2H transfer
+    # permanently switches the session from async fast-dispatch into a
+    # synchronous mode (~14 ms/dispatch measured); sync with
+    # block_until_ready only, and fetch results after all timing is done.
     for (P_, S_, M_, I_, IM_, _) in dev_data[:N_WARM]:
         st, info = lio_step(cfg, st, P_, S_, M_, I_, IM_)
-    np.asarray(st.nav.pos)
+    jax.block_until_ready(st.nav.pos)
 
     print("bench: lio timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
@@ -63,15 +66,12 @@ def main():
         poses.append(st.nav.pos)
     jax.block_until_ready(poses[-1])
     dt = time.perf_counter() - t0
-
-    errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
-            for p, d in zip(poses, dev_data[N_WARM:])]
     scans_per_sec = N_BENCH / dt
-    ate = float(np.sqrt(np.mean(np.square(errs))))
 
     # secondary metric: pose-graph optimization throughput (BASELINE.json
     # names PGO iters/s).  1024-node loop graph, one jitted robust-GN round
-    # (50 CG iterations) per outer iter.
+    # (50 CG iterations) per outer iter.  Timed BEFORE any device->host
+    # fetch (see the session-degradation note above).
     from lsd_tpu.slam.graph_builder import PoseGraphBuilder
     from lsd_tpu.slam.posegraph import PgoConfig, optimize
     b = PoseGraphBuilder()
@@ -91,11 +91,18 @@ def main():
     print("bench: pgo compile...", file=sys.stderr, flush=True)
     out, _ = optimize(g, pcfg)          # compile
     jax.block_until_ready(out.nodes.pos)
+    n_pgo = 10
     t0 = time.perf_counter()
-    out, _ = optimize(g, pcfg)
+    for _ in range(n_pgo):
+        out, _ = optimize(g, pcfg)
     jax.block_until_ready(out.nodes.pos)
     pgo_dt = time.perf_counter() - t0
-    pgo_iters_per_sec = pcfg.outer_iters / pgo_dt
+    pgo_iters_per_sec = pcfg.outer_iters * n_pgo / pgo_dt
+
+    # all timing done — D2H fetches are safe now
+    errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
+            for p, d in zip(poses, dev_data[N_WARM:])]
+    ate = float(np.sqrt(np.mean(np.square(errs))))
 
     ref_scans_per_sec = 50.0
     print(json.dumps({

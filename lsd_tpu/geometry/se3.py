@@ -8,8 +8,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import so3
+
+# np (not jnp) so it lowers as an inline HLO literal, not a captured device
+# buffer (which costs a host round-trip per call on tunneled TPU backends).
+_BOTTOM_ROW = np.asarray([0.0, 0.0, 0.0, 1.0], np.float32)
 
 
 def make_pose(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -18,7 +23,7 @@ def make_pose(R: jax.Array, t: jax.Array) -> jax.Array:
     R = jnp.broadcast_to(R, batch + (3, 3))
     t = jnp.broadcast_to(t, batch + (3,))
     top = jnp.concatenate([R, t[..., :, None]], axis=-1)
-    bottom = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), batch + (1, 4))
+    bottom = jnp.broadcast_to(_BOTTOM_ROW.astype(R.dtype), batch + (1, 4))
     return jnp.concatenate([top, bottom], axis=-2)
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
 
@@ -116,7 +117,10 @@ def quat_mul(q1: jax.Array, q2: jax.Array) -> jax.Array:
 
 
 def quat_conj(q: jax.Array) -> jax.Array:
-    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    # np constant (not jnp): lowered as an inline HLO literal instead of a
+    # captured device buffer, which costs a host round-trip per call on
+    # tunneled TPU backends.
+    return q * np.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
 def quat_normalize(q: jax.Array) -> jax.Array:

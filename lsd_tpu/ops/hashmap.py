@@ -189,7 +189,10 @@ def _neighbor_offsets(neighborhood: int) -> jnp.ndarray:
         offs = [o for o in full if abs(o[0]) + abs(o[1]) + abs(o[2]) <= 1]
     else:
         raise ValueError(f"neighborhood must be 7, 19 or 27, got {neighborhood}")
-    return jnp.asarray(offs, jnp.int32)
+    # np (not jnp): called at trace time inside hashmap_knn — a jnp array
+    # here becomes a captured device buffer (host round-trip per call on
+    # tunneled TPU backends); an np array lowers as an inline literal.
+    return np.asarray(offs, np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "neighborhood"))

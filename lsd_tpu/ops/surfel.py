@@ -26,6 +26,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hashmap import NUM_PROBES, _content_key, _slot_hash, _probe_find
 
@@ -140,9 +141,12 @@ def _smallest_eigvec_3x3(A: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]
     return v, lam0, lam1
 
 
-_FACE_OFFSETS = jnp.asarray([[0, 0, 0], [1, 0, 0], [-1, 0, 0],
-                             [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-                            jnp.int32)
+# np (not jnp): a module-level jnp constant becomes a captured device buffer
+# in every jitted user, costing a host round-trip per call on tunneled TPU
+# backends (measured ~1 ms/call + degraded dispatch session-wide).
+_FACE_OFFSETS = np.asarray([[0, 0, 0], [1, 0, 0], [-1, 0, 0],
+                            [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+                           np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("min_points", ))

@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT_SENTINEL = jnp.iinfo(jnp.int32).max
 
@@ -79,8 +80,16 @@ def voxelize_dynamic(points: jax.Array, mask: jax.Array, voxel_size,
       vmask    (max_voxels,) bool
     """
     n, d = points.shape
-    voxel_size = jnp.asarray(voxel_size, points.dtype)
-    pc_range = jnp.asarray(pc_range, points.dtype)
+    # np (not jnp) for static values: they become inline HLO literals, not
+    # captured device buffers (per-call host round-trip on tunneled TPU
+    # backends).  Traced values stay jnp.
+    def _as_const(x):
+        try:
+            return np.asarray(x, points.dtype)
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            return jnp.asarray(x, points.dtype)
+    voxel_size = _as_const(voxel_size)
+    pc_range = _as_const(pc_range)
     gsz = jnp.floor((pc_range[3:] - pc_range[:3]) / voxel_size + 0.5).astype(jnp.int32)
 
     c = jnp.floor((points[:, :3] - pc_range[:3]) / voxel_size).astype(jnp.int32)

@@ -18,6 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import so3
 from .state import (ERR_DIM, IDX_BA, IDX_BG, IDX_G, IDX_P, IDX_R, IDX_V,
@@ -150,6 +151,6 @@ def static_init(imu_samples: jax.Array) -> Tuple[NavState, float]:
     mean_acc = jnp.mean(imu_samples[:, 4:7], axis=0)
     acc_norm = jnp.linalg.norm(mean_acc)
     acc_scale = GRAVITY / jnp.maximum(acc_norm, 1e-6)
-    R0 = rot_between(mean_acc / jnp.maximum(acc_norm, 1e-9), jnp.asarray([0.0, 0.0, 1.0]))
+    R0 = rot_between(mean_acc / jnp.maximum(acc_norm, 1e-9), np.asarray([0.0, 0.0, 1.0], np.float32))
     st = init_state()._replace(bg=mean_gyr, quat=so3.matrix_to_quat(R0))
     return st, float(acc_scale)

@@ -179,7 +179,7 @@ def lio_step(cfg: LioConfig, st: LioState,
     if vel_obs is None:
         vel_obs = jnp.zeros(3, jnp.float32)
     if vel_obs_valid is None:
-        vel_obs_valid = jnp.asarray(False)
+        vel_obs_valid = jnp.full((), False)
 
     # ---- IMU propagation + undistortion -------------------------------
     nav_prop, P_prop, track = propagate(st.nav, st.P, imu, imu_mask,
@@ -265,6 +265,6 @@ def lio_step(cfg: LioConfig, st: LioState,
         pose=nav_new.pose_matrix(),
     )
     new_st = LioState(nav=nav_new, P=P_new, map=new_map, map_center=new_center,
-                      initialized=jnp.asarray(True),
+                      initialized=jnp.full((), True),
                       step_count=st.step_count + 1)
     return new_st, info

@@ -146,7 +146,7 @@ def _floor_residual(nodes: GraphNodes, f: FloorPriors, dx: jax.Array) -> jax.Arr
     def one(idx, z0, si, m):
         q, p = _node_pose(nodes, dx, idx)
         # body z-axis in world; residual = tilt (x,y of axis) + height
-        zaxis = so3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0], dx.dtype))
+        zaxis = so3.quat_rotate(q, np.asarray([0.0, 0.0, 1.0], dx.dtype))
         return jnp.stack([p[2] - z0, zaxis[0], zaxis[1]]) * si * m
     return jax.vmap(one)(f.idx, f.z, f.sqrt_info, f.mask.astype(dx.dtype))
 
@@ -205,7 +205,7 @@ def _linearize_blocks(graph: PoseGraphData, nodes: GraphNodes,
     def floor_f(d, q0, p0, z0, si, w):
         q = so3.quat_mul(q0, so3.quat_from_rotvec(d[:3]))
         p = p0 + d[3:]
-        zaxis = so3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        zaxis = so3.quat_rotate(q, np.asarray([0.0, 0.0, 1.0], np.float32))
         return jnp.stack([p[2] - z0, zaxis[0], zaxis[1]]) * si * w
 
     z6 = jnp.zeros(6, jnp.float32)

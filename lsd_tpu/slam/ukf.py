@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import so3
 
@@ -85,7 +86,7 @@ def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
             w = imu_gyro - bg
             a = imu_acc - ba
             q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(w * dt)))
-            acc_w = so3.quat_rotate(q, a) + jnp.asarray([0.0, 0.0, -GRAVITY])
+            acc_w = so3.quat_rotate(q, a) + np.asarray([0.0, 0.0, -GRAVITY], np.float32)
             v_new = v + acc_w * dt
         else:
             q_new = q
