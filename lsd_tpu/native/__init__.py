@@ -77,6 +77,35 @@ def get_lib() -> ctypes.CDLL:
                                               ctypes.c_void_p, ctypes.c_void_p,
                                               ctypes.c_int]
             lib.lsd_decode_ouster.restype = ctypes.c_int
+            lib.lsd_decode_lsc16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_int, ctypes.c_uint32,
+                                             ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_lsc16.restype = ctypes.c_int
+            lib.lsd_decode_rs32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int, ctypes.c_uint32,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_rs32.restype = ctypes.c_int
+            lib.lsd_decode_rs_ruby.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_rs_ruby.restype = ctypes.c_int
+            lib.lsd_decode_rs_helios.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_rs_helios.restype = ctypes.c_int
+            lib.lsd_decode_rs_m1.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_int, ctypes.c_uint32,
+                                             ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_rs_m1.restype = ctypes.c_int
+            lib.lsd_decode_ouster_v3.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.lsd_decode_ouster_v3.restype = ctypes.c_int
             lib.lsd_points_postprocess.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_float, ctypes.c_float, ctypes.c_void_p]
@@ -195,15 +224,148 @@ def decode_ouster(packets: np.ndarray, lens: np.ndarray,
     return out[:max(n, 0)]
 
 
+def decode_lsc16(packets: np.ndarray, lens: np.ndarray,
+                 max_points: int = 60000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_lsc16(packets.ctypes.data, lens.ctypes.data,
+                             len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                             out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def _int_table(t) -> Tuple[Optional[np.ndarray], Optional[int]]:
+    if t is None:
+        return None, None
+    arr = np.ascontiguousarray(t, np.int32)
+    return arr, arr.ctypes.data
+
+
+def decode_rs32(packets: np.ndarray, lens: np.ndarray,
+                vert_cd=None, horiz_cd=None,
+                max_points: int = 120000) -> np.ndarray:
+    """vert_cd/horiz_cd: optional per-channel calibration, centidegrees."""
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    v_arr, v_ptr = _int_table(vert_cd)
+    h_arr, h_ptr = _int_table(horiz_cd)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_rs32(packets.ctypes.data, lens.ctypes.data,
+                            len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                            v_ptr, h_ptr, out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_rs_ruby(packets: np.ndarray, lens: np.ndarray,
+                   vert_cd=None, horiz_cd=None,
+                   max_points: int = 200000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    v_arr, v_ptr = _int_table(vert_cd)
+    h_arr, h_ptr = _int_table(horiz_cd)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_rs_ruby(packets.ctypes.data, lens.ctypes.data,
+                               len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                               v_ptr, h_ptr, out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_rs_helios(packets: np.ndarray, lens: np.ndarray,
+                     n_lasers: int = 32, vert_cd=None, horiz_cd=None,
+                     max_points: int = 120000) -> np.ndarray:
+    """n_lasers 32 (Helios) or 16 (Helios-16P).  Exact per-unit angles come
+    from the sensor's DIFOP stream (port+1); pass them via vert_cd/horiz_cd
+    in centidegrees, else factory-default ladders are used."""
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    v_arr, v_ptr = _int_table(vert_cd)
+    h_arr, h_ptr = _int_table(horiz_cd)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_rs_helios(packets.ctypes.data, lens.ctypes.data,
+                                 len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                                 n_lasers, v_ptr, h_ptr,
+                                 out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_rs_m1(packets: np.ndarray, lens: np.ndarray,
+                 max_points: int = 120000) -> np.ndarray:
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_rs_m1(packets.ctypes.data, lens.ctypes.data,
+                             len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                             out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
+def decode_ouster_v3(packets: np.ndarray, lens: np.ndarray,
+                     rings: int = 128,
+                     beam_alt_deg: Optional[np.ndarray] = None,
+                     beam_az_deg: Optional[np.ndarray] = None,
+                     beam_to_lidar_mm: float = 15.806,
+                     z_offset: float = 0.0,
+                     max_points: int = 300000) -> np.ndarray:
+    """RNG19_RFL8_SIG16_NIR16 (v3 firmware) single-return profile."""
+    lib = get_lib()
+    packets = np.ascontiguousarray(packets, np.uint8)
+    lens = np.ascontiguousarray(lens, np.uint32)
+    if beam_alt_deg is None or beam_az_deg is None:
+        beam_alt_deg, beam_az_deg = ouster_beam_tables(rings)
+    alt = np.ascontiguousarray(beam_alt_deg, np.float32)
+    az = np.ascontiguousarray(beam_az_deg, np.float32)
+    rings = len(alt)
+    out = np.zeros((max_points, 4), np.float32)
+    n = lib.lsd_decode_ouster_v3(packets.ctypes.data, lens.ctypes.data,
+                                 len(lens), packets.shape[1] if packets.ndim == 2 else _MAX_PACKET,
+                                 rings, alt.ctypes.data, az.ctypes.data,
+                                 beam_to_lidar_mm, z_offset,
+                                 out.ctypes.data, max_points)
+    return out[:max(n, 0)]
+
+
 OUSTER_PACKET_BYTES = {64: 16 * (16 + 64 * 12 + 4),
                        128: 16 * (16 + 128 * 12 + 4)}
+OUSTER_V3_PACKET_BYTES = {32: 32 + 16 * (12 + 32 * 12),
+                          64: 32 + 16 * (12 + 64 * 12),
+                          128: 32 + 16 * (12 + 128 * 12)}
 
+# Max UDP payload per decoder (receiver ring slot size); anything absent
+# fits the 2048-byte default.
+DECODER_MAX_PACKET = {
+    "Ouster-OS1": OUSTER_PACKET_BYTES[64] + 64,
+    "Ouster-OS1-128": OUSTER_PACKET_BYTES[128] + 64,
+    "Ouster-OS2-128": OUSTER_PACKET_BYTES[128] + 64,
+    "Ouster-OS1-32-v3": OUSTER_V3_PACKET_BYTES[32] + 64,
+    "Ouster-OS1-64-v3": OUSTER_V3_PACKET_BYTES[64] + 64,
+    "Ouster-OS1-128-v3": OUSTER_V3_PACKET_BYTES[128] + 64,
+    "Custom": 65536,
+}
+
+# Registry keyed by the reference's cfg lidar names
+# (cfg/board_cfg_all.yaml lidar_all; lidar_driver.h:38-52 LidarType).
 DECODERS = {
     "VLP-16": lambda pk, ln: (decode_vlp16(pk, ln), 0),
+    "LS-C-16": lambda pk, ln: (decode_lsc16(pk, ln), 0),
     "RS-16": lambda pk, ln: (decode_rs16(pk, ln), 0),
+    "RS-32": lambda pk, ln: (decode_rs32(pk, ln), 0),
+    "RS-Ruby-Lite": lambda pk, ln: (decode_rs_ruby(pk, ln), 0),
+    "RS-Helios": lambda pk, ln: (decode_rs_helios(pk, ln, n_lasers=32), 0),
+    "RS-Helios-16P": lambda pk, ln: (decode_rs_helios(pk, ln, n_lasers=16), 0),
+    "RS-M1": lambda pk, ln: (decode_rs_m1(pk, ln), 0),
     "Livox-Mid-360": lambda pk, ln: decode_livox(pk, ln),
     "Ouster-OS1": lambda pk, ln: (decode_ouster(pk, ln, n_beams=64), 0),
     "Ouster-OS1-128": lambda pk, ln: (decode_ouster(pk, ln, n_beams=128), 0),
+    "Ouster-OS2-128": lambda pk, ln: (decode_ouster(pk, ln, n_beams=128), 0),
+    "Ouster-OS1-32-v3": lambda pk, ln: (decode_ouster_v3(pk, ln, rings=32), 0),
+    "Ouster-OS1-64-v3": lambda pk, ln: (decode_ouster_v3(pk, ln, rings=64), 0),
+    "Ouster-OS1-128-v3": lambda pk, ln: (decode_ouster_v3(pk, ln, rings=128), 0),
     "Custom": lambda pk, ln: decode_custom(pk, ln),
 }
 

@@ -29,7 +29,8 @@ class LidarUnit:
         self.name = f"{port}-{decoder}" if name is None else name
         self.decoder_name = decoder
         self.decode = native.DECODERS[decoder]
-        self.rx = native.UdpReceiver(port)
+        self.rx = native.UdpReceiver(
+            port, max_packet=native.DECODER_MAX_PACKET.get(decoder, 2048))
         self.native = native
         self.extrinsic = (np.asarray(extrinsic, np.float32)
                           if extrinsic is not None else None)

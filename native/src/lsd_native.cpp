@@ -317,6 +317,386 @@ int lsd_decode_ouster(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
   return count;
 }
 
+// LS-C-16 (LeiShen C16, 1206-byte packets): identical block layout to
+// VLP-16 (12 x {u16 0xEEFF, u16 azimuth LE 0.01 deg, 2 firings x 16 x
+// {u16 distance LE, u8 intensity}}) but distance LSB is 1 cm and the
+// altitude table is the interleaved -15..+15 deg ladder.
+// (Reference: packagePrase_LS_C_16, lidar_driver.cpp:473; constants
+// DecoderBase.h:19-63.)
+static const float kLsc16Elev[16] = {
+    -15.f, 1.f, -13.f, 3.f, -11.f, 5.f, -9.f, 7.f,
+    -7.f,  9.f, -5.f, 11.f, -3.f, 13.f, -1.f, 15.f};
+
+int lsd_decode_lsc16(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                     uint32_t stride, float* out_xyzi, int max_points) {
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] != 1206) continue;
+    for (int b = 0; b < 12; ++b) {
+      const uint8_t* blk = pkt + b * 100;
+      const uint16_t flag = blk[0] | (blk[1] << 8);
+      if (flag != 0xEEFF) continue;
+      const float az0 = (blk[2] | (blk[3] << 8)) * 0.01f;
+      float az1 = az0 + 0.36f;
+      if (b + 1 < 12) {
+        const uint8_t* nb = pkt + (b + 1) * 100;
+        az1 = (nb[2] | (nb[3] << 8)) * 0.01f;
+        if (az1 < az0) az1 += 360.f;
+      }
+      for (int seq = 0; seq < 2; ++seq) {
+        const float az = az0 + (az1 - az0) * 0.5f * seq;
+        const float az_rad = az * static_cast<float>(M_PI) / 180.f;
+        for (int ch = 0; ch < 16; ++ch) {
+          const uint8_t* rec = blk + 4 + (seq * 16 + ch) * 3;
+          const uint16_t dist_raw = rec[0] | (rec[1] << 8);
+          if (dist_raw == 0 || count >= max_points) continue;
+          const float dist = dist_raw * 0.01f;
+          if (dist < 0.2f || dist > 150.f) continue;
+          const float elev = kLsc16Elev[ch] * static_cast<float>(M_PI) / 180.f;
+          const float xy = dist * std::cos(elev);
+          float* o = out_xyzi + count * 4;
+          o[0] = xy * std::sin(az_rad);
+          o[1] = xy * std::cos(az_rad);
+          o[2] = dist * std::sin(elev);
+          o[3] = rec[2] / 255.0f;
+          ++count;
+        }
+      }
+    }
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// RoboSense family (shared helpers).  All RS mechanical lidars use
+// centidegree (0.01 deg) integer angles, big-endian fields, and the
+// "lens center" xy correction:
+//   x =  d cos(v) cos(af) + RX cos(a0)
+//   y = -d cos(v) sin(af) - RX sin(a0)
+//   z =  d sin(v)
+// where af is the horizontally-calibrated azimuth and a0 the raw channel
+// azimuth.  (Reference: packagePrase_RS_* in lidar_driver.cpp:949-1299.)
+
+static inline float rs_rad(int centideg) {
+  return centideg * 0.01f * static_cast<float>(M_PI) / 180.f;
+}
+static inline uint16_t rs_be16(const uint8_t* b) {
+  return static_cast<uint16_t>((b[0] << 8) | b[1]);
+}
+
+// RS-LiDAR-32 (1248 B): 42-byte header (u64 id 0xA050A55A0A05AA55 LE) then
+// 12 blocks x {u16 0xEEFF, u16 azimuth BE, 32 x {u16 dist BE, u8 int}};
+// distance LSB 5 mm; per-channel firing-time azimuth advance
+// 0.018*1.44*(2*(ch%16)+ch/16) of the block delta; default factory
+// vertical/horizontal calibration tables in centidegrees.
+// (Reference: packagePrase_RS_LiDAR_32, lidar_driver.cpp:949-1019; default
+// tables :1691-1703.)
+static const int kRs32Vert[32] = {
+    -1031, -642, 229, 329, 463, 700, 1033, 1506,
+    29, 0, -36, -70, 163, 126, 96, 63,
+    -2500, -1460, -791, -540, -370, -400, -436, -470,
+    -236, -266, -300, -333, -100, -133, -170, -200};
+static const int kRs32Horiz[32] = {
+    813, 818, 840, -672, 826, -720, 826, -726,
+    -766, -241, 279, 818, -778, -250, 284, 813,
+    -782, -772, -748, -741, -760, -241, 296, 826,
+    -764, -240, 292, 823, -757, -231, 301, 828};
+
+int lsd_decode_rs32(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                    uint32_t stride, const int* vert_cd, const int* horiz_cd,
+                    float* out_xyzi, int max_points) {
+  if (!vert_cd) vert_cd = kRs32Vert;
+  if (!horiz_cd) horiz_cd = kRs32Horiz;
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] != 1248) continue;
+    uint64_t id;
+    std::memcpy(&id, pkt, 8);
+    if (id != 0xA050A55A0A05AA55ull) continue;
+    const uint8_t* body = pkt + 42;
+    for (int b = 0; b < 12; ++b) {
+      const uint8_t* blk = body + b * 100;
+      if (!(blk[0] == 0xFF && blk[1] == 0xEE)) break;
+      const int cur = rs_be16(blk + 2);
+      int other = b + 1 < 12 ? rs_be16(body + (b + 1) * 100 + 2)
+                             : rs_be16(body + (b - 1) * 100 + 2);
+      float azd = static_cast<float>((36000 + (b + 1 < 12 ? other - cur
+                                                          : cur - other)) % 36000);
+      for (int ch = 0; ch < 32; ++ch) {
+        const uint8_t* rec = blk + 4 + ch * 3;
+        const float dist = rs_be16(rec) * 0.005f;
+        if (dist < 0.2f || dist > 200.f || count >= max_points) continue;
+        const float az_ori =
+            cur + azd * 0.018f * 1.44f * (2 * (ch % 16) + (ch / 16));
+        const int az_fin =
+            (static_cast<int>(az_ori) + horiz_cd[ch] + 36000) % 36000;
+        const int a0 = (static_cast<int>(az_ori) + 36000) % 36000;
+        const float v = rs_rad((vert_cd[ch] + 36000) % 36000);
+        const float cv = std::cos(v);
+        float* o = out_xyzi + count * 4;
+        o[0] = dist * cv * std::cos(rs_rad(az_fin)) +
+               0.03997f * std::cos(rs_rad(a0));
+        o[1] = -dist * cv * std::sin(rs_rad(az_fin)) -
+               0.03997f * std::sin(rs_rad(a0));
+        o[2] = dist * std::sin(v);
+        o[3] = rec[2] / 255.0f;
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
+// RS-Ruby-Lite (80 beam, 1248 B): 80-byte header (u32 id 0x5A05AA55 LE)
+// then 4 blocks x {u8 0xFE, u8 ret_id, u16 azimuth BE, 80 x {u16 dist BE,
+// u8 int}}; distance LSB 5 mm; channel azimuth advance
+// (ch/4 % 16)*3.236*0.018 of the block delta (default 20 cd when the
+// measured delta spans the FOV blind zone).
+// (Reference: packagePrase_RS_Ruby_Lite, lidar_driver.cpp:1021-1094;
+// default tables :1705-1723.)
+static const int kRs80Vert[80] = {
+    -1356, -109, -439, -29, -359, -579, 51, -279, 351, -498,
+    -199, 506, -419, -1958, -129, -339, -715, -49, -259, -599,
+    31, -179, -519, -99, -2500, -19, -765, 61, -269, 141, -189,
+    -1604, -119, -685, -39, 41, -289, 656, 121, -208, -835, -69,
+    -399, -619, 11, -319, -539, 91, -239, -459, -159, -379, 251,
+    -1034, -89, -299, -9, -219, -559, 71, -139, 1150, -479, -58,
+    -1174, 21, -650, 101, -229, 181, -149, 900, -924, -79, 1,
+    81, -249, 1500, 161, -169};
+static const int kRs80Horiz[80] = {
+    595, 425, 255, 425, 255, 595, 425, 255, 85, 595, 255,
+    85, 595, 255, 85, 595, 255, 85, 595, 255, 85, 595, 255,
+    595, 85, 595, 85, 595, 425, 595, 425, 425, 255, 425, 255,
+    255, 85, 595, 255, 85, -85, -255, -425, -85, -255, -425,
+    -85, -255, -425, -85, -425, -85, -255, -425, -595, -85,
+    -595, -85, -425, -595, -85, -255, -425, -85, -595, -85,
+    -595, -85, -255, -85, -255, -425, -255, -425, -425, -425,
+    -595, -85, -425, -595};
+
+int lsd_decode_rs_ruby(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                       uint32_t stride, const int* vert_cd,
+                       const int* horiz_cd, float* out_xyzi, int max_points) {
+  if (!vert_cd) vert_cd = kRs80Vert;
+  if (!horiz_cd) horiz_cd = kRs80Horiz;
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] != 1248) continue;
+    uint32_t id;
+    std::memcpy(&id, pkt, 4);
+    if (id != 0x5A05AA55u) continue;
+    const uint8_t* body = pkt + 80;
+    const size_t blk_size = 4 + 80 * 3;  // 244
+    for (int b = 0; b < 4; ++b) {
+      const uint8_t* blk = body + b * blk_size;
+      if (blk[0] != 0xFE) break;
+      const int cur = rs_be16(blk + 2);
+      int other = b + 1 < 4 ? rs_be16(body + (b + 1) * blk_size + 2)
+                            : rs_be16(body + (b - 1) * blk_size + 2);
+      float azd = static_cast<float>((36000 + (b + 1 < 4 ? other - cur
+                                                         : cur - other)) % 36000);
+      if (azd > 100.f) azd = 20.f;  // FOV blind-zone fallback
+      for (int ch = 0; ch < 80; ++ch) {
+        const uint8_t* rec = blk + 4 + ch * 3;
+        const float dist = rs_be16(rec) * 0.005f;
+        if (dist < 0.2f || dist > 200.f || count >= max_points) continue;
+        const float az_ori = cur + azd * ((ch / 4) % 16) * 3.236f * 0.018f;
+        const int az_fin =
+            (static_cast<int>(az_ori) + horiz_cd[ch] + 36000) % 36000;
+        const int a0 = (static_cast<int>(az_ori) + 36000) % 36000;
+        const float v = rs_rad((vert_cd[ch] + 36000) % 36000);
+        const float cv = std::cos(v);
+        float* o = out_xyzi + count * 4;
+        o[0] = dist * cv * std::cos(rs_rad(az_fin)) +
+               0.03615f * std::cos(rs_rad(a0));
+        o[1] = -dist * cv * std::sin(rs_rad(az_fin)) -
+               0.03615f * std::sin(rs_rad(a0));
+        o[2] = dist * std::sin(v);
+        o[3] = rec[2] / 255.0f;
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
+// RS-Helios / RS-Helios-16P (1248 B): 42-byte header (u32 id 0x5A05AA55
+// LE) then 12 blocks x {2-byte id 0xFF 0xEE, u16 azimuth BE, 32 x {u16
+// dist BE, u8 int}}; distance LSB 2.5 mm; per-channel azimuth advance =
+// block delta * firing_time[ch]/55.56 us; lens center RX 0.03498 m.  The
+// 16P fires 16 lasers twice per block (laser = ch % 16).  Exact per-unit
+// calibration arrives in the DIFOP stream on port+1 — pass those tables
+// here; the defaults are the uniform factory ladder.
+// (Reference: packagePrase_RS_Helios{,_16P}, lidar_driver.cpp:1096-1242;
+// const params rs_decode_difop.h:210-285.)
+static const float kHeliosChanAz[32] = {
+    0.00f / 55.56f,  1.57f / 55.56f,  3.15f / 55.56f,  4.72f / 55.56f,
+    6.30f / 55.56f,  7.87f / 55.56f,  9.45f / 55.56f,  11.36f / 55.56f,
+    13.26f / 55.56f, 15.17f / 55.56f, 17.08f / 55.56f, 18.99f / 55.56f,
+    20.56f / 55.56f, 22.14f / 55.56f, 23.71f / 55.56f, 25.29f / 55.56f,
+    26.53f / 55.56f, 29.01f / 55.56f, 27.77f / 55.56f, 30.25f / 55.56f,
+    31.49f / 55.56f, 33.98f / 55.56f, 32.73f / 55.56f, 35.22f / 55.56f,
+    36.46f / 55.56f, 37.70f / 55.56f, 38.94f / 55.56f, 40.18f / 55.56f,
+    41.42f / 55.56f, 42.67f / 55.56f, 43.91f / 55.56f, 45.15f / 55.56f};
+// Factory default verticals: Helios-32 is a -25..+15 deg ladder, 16P a
+// uniform -15..+15 ladder (RS16-style ordering).
+static const int kHelios32Vert[32] = {
+    -2500, -1800, -1500, -1200, -1000, -800, -700, -600,
+    -500, -400, -300, -267, -233, -200, -167, -133,
+    -100, -67, -33, 0, 33, 67, 100, 133,
+    167, 200, 300, 400, 500, 700, 1000, 1500};
+static const int kHelios16Vert[16] = {
+    -1500, -1300, -1100, -900, -700, -500, -300, -100,
+    100, 300, 500, 700, 900, 1100, 1300, 1500};
+
+int lsd_decode_rs_helios(const uint8_t* pkts, const uint32_t* lens,
+                         int n_pkts, uint32_t stride, int n_lasers,
+                         const int* vert_cd, const int* horiz_cd,
+                         float* out_xyzi, int max_points) {
+  const int* vdef = n_lasers == 16 ? kHelios16Vert : kHelios32Vert;
+  if (!vert_cd) vert_cd = vdef;
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] != 1248) continue;
+    uint32_t id;
+    std::memcpy(&id, pkt, 4);
+    if (id != 0x5A05AA55u) continue;
+    const uint8_t* body = pkt + 42;
+    for (int b = 0; b < 12; ++b) {
+      const uint8_t* blk = body + b * 100;
+      if (!(blk[0] == 0xFF && blk[1] == 0xEE)) break;
+      const int cur = rs_be16(blk + 2);
+      int other = b + 1 < 12 ? rs_be16(body + (b + 1) * 100 + 2)
+                             : rs_be16(body + (b - 1) * 100 + 2);
+      float azd = static_cast<float>((36000 + (b + 1 < 12 ? other - cur
+                                                          : cur - other)) % 36000);
+      if (azd > 100.f) azd = 20.f;
+      for (int ch = 0; ch < 32; ++ch) {
+        const uint8_t* rec = blk + 4 + ch * 3;
+        const float dist = rs_be16(rec) * 0.0025f;
+        if (dist < 0.4f || dist > 200.f || count >= max_points) continue;
+        const int laser = n_lasers == 16 ? ch % 16 : ch;
+        const int az_ori = cur + static_cast<int>(azd * kHeliosChanAz[ch]);
+        const int az_fin =
+            (az_ori + (horiz_cd ? horiz_cd[laser] : 0) + 36000) % 36000;
+        const int a0 = (az_ori + 36000) % 36000;
+        const float v = rs_rad((vert_cd[laser] + 36000) % 36000);
+        const float cv = std::cos(v);
+        float* o = out_xyzi + count * 4;
+        o[0] = dist * cv * std::cos(rs_rad(az_fin)) +
+               0.03498f * std::cos(rs_rad(a0));
+        o[1] = -dist * cv * std::sin(rs_rad(az_fin)) -
+               0.03498f * std::sin(rs_rad(a0));
+        o[2] = dist * std::sin(v);
+        o[3] = rec[2] / 255.0f;
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
+// RS-LiDAR-M1 (solid state, 1210 B): 32-byte header {u32 id 0xA55AAA55 LE,
+// u16 pkt_cnt BE, ...} then 25 blocks x {u8 time_offset, u8 return_seq,
+// 5 x {u16 dist BE, u16 pitch BE, u16 yaw BE, u8 int, u8 attr, u8
+// elongation}}; distance LSB 5 mm; pitch/yaw are absolute centidegree
+// angles biased by 32768:
+//   x = d cos(p) cos(y); y = d cos(p) sin(y); z = d sin(p)
+// (Reference: packagePrase_RS_LiDAR_M1, lidar_driver.cpp:1244-1299; struct
+// DecoderBase.h:506-542.)
+int lsd_decode_rs_m1(const uint8_t* pkts, const uint32_t* lens, int n_pkts,
+                     uint32_t stride, float* out_xyzi, int max_points) {
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] != 1210) continue;
+    uint32_t id;
+    std::memcpy(&id, pkt, 4);
+    if (id != 0xA55AAA55u) continue;
+    const uint8_t* body = pkt + 32;
+    const size_t blk_size = 2 + 5 * 9;  // 47
+    for (int b = 0; b < 25; ++b) {
+      const uint8_t* blk = body + b * blk_size;
+      for (int ch = 0; ch < 5; ++ch) {
+        const uint8_t* rec = blk + 2 + ch * 9;
+        const float dist = rs_be16(rec) * 0.005f;
+        if (dist < 0.2f || dist > 200.f || count >= max_points) continue;
+        const float pitch = rs_rad(static_cast<int>(rs_be16(rec + 2)) - 32768);
+        const float yaw = rs_rad(static_cast<int>(rs_be16(rec + 4)) - 32768);
+        const float cp = std::cos(pitch);
+        float* o = out_xyzi + count * 4;
+        o[0] = dist * cp * std::cos(yaw);
+        o[1] = dist * cp * std::sin(yaw);
+        o[2] = dist * std::sin(pitch);
+        o[3] = rec[6] / 255.0f;
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
+// Ouster RNG19_RFL8_SIG16_NIR16 (v3 / "single return") profile: 32-byte
+// packet header {u16 packet_type, u16 frame_id, ...} then 16 columns x
+// {u64 timestamp, u16 measurement_id, u16 status, rings x 12-byte px
+// {u32 range_mm (19:0), u8 refl, pad, u16 signal, u16 NIR, pad}}; 1024
+// columns/rev.  Geometry uses the beam-to-lidar offset n (mm):
+//   enc = 2 pi (1 - m_id/1024);  az = -beam_az[ch] deg
+//   x = -((r-n) cos(az+enc) cos(alt) + n cos(enc)) / 1000
+//   y = -((r-n) sin(az+enc) cos(alt) + n sin(enc)) / 1000
+//   z = (r-n) sin(alt) / 1000 + z_offset
+// (Reference: packagePrase_Ouster_V3, lidar_driver.cpp:783-869.)
+int lsd_decode_ouster_v3(const uint8_t* pkts, const uint32_t* lens,
+                         int n_pkts, uint32_t stride, int rings,
+                         const float* beam_alt_deg, const float* beam_az_deg,
+                         float beam_to_lidar_mm, float z_offset,
+                         float* out_xyzi, int max_points) {
+  const size_t col_bytes = 12 + static_cast<size_t>(rings) * 12;
+  const size_t pkt_size = 32 + 16 * col_bytes;
+  const float two_pi = 2.0f * static_cast<float>(M_PI);
+  const float n = beam_to_lidar_mm;
+  int count = 0;
+  for (int p = 0; p < n_pkts; ++p) {
+    const uint8_t* pkt = pkts + p * stride;
+    if (lens[p] < pkt_size) continue;
+    for (int c = 0; c < 16; ++c) {
+      const uint8_t* col = pkt + 32 + c * col_bytes;
+      uint16_t m_id, status;
+      std::memcpy(&m_id, col + 8, 2);
+      std::memcpy(&status, col + 10, 2);
+      if (m_id >= 1024 || !(status & 0x1)) continue;
+      const float enc = two_pi * (1.0f - m_id / 1024.0f);
+      for (int ch = 0; ch < rings; ++ch) {
+        const uint8_t* px = col + 12 + ch * 12;
+        uint32_t range_raw;
+        std::memcpy(&range_raw, px, 4);
+        range_raw &= 0x000FFFFFu;
+        if (range_raw == 0 || count >= max_points) continue;
+        uint16_t signal;
+        std::memcpy(&signal, px + 6, 2);
+        const float r = static_cast<float>(range_raw);
+        const float az =
+            -beam_az_deg[ch] * static_cast<float>(M_PI) / 180.f;
+        const float alt =
+            beam_alt_deg[ch] * static_cast<float>(M_PI) / 180.f;
+        const float calt = std::cos(alt);
+        float* o = out_xyzi + count * 4;
+        o[0] = -((r - n) * std::cos(az + enc) * calt + n * std::cos(enc)) *
+               0.001f;
+        o[1] = -((r - n) * std::sin(az + enc) * calt + n * std::sin(enc)) *
+               0.001f;
+        o[2] = (r - n) * std::sin(alt) * 0.001f + z_offset;
+        o[3] = std::min(signal / 2048.0f, 1.0f);
+        ++count;
+      }
+    }
+  }
+  return count;
+}
+
 // "Custom" format (reference custom decoder): little-endian header
 // {uint32 magic 0x4C53444C ("LDSL"), uint32 n_points, uint64 stamp_us}
 // followed by n_points x float32 [x y z intensity].

@@ -219,3 +219,173 @@ class TestOuster:
             assert got == 16 * 64
         finally:
             rx.close()
+
+
+def make_lsc16_packet(dist_m=10.0, azimuth_deg=0.0, intensity=77):
+    pkt = bytearray(1206)
+    for b in range(12):
+        off = b * 100
+        pkt[off:off + 2] = b"\xff\xee"  # 0xEEFF little-endian
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = az.to_bytes(2, "little")
+        for rec in range(32):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = int(dist_m / 0.01).to_bytes(2, "little")
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+def make_rs32_packet(dist_m=20.0, azimuth_deg=0.0, intensity=60):
+    pkt = bytearray(1248)
+    pkt[0:8] = (0xA050A55A0A05AA55).to_bytes(8, "little")
+    for b in range(12):
+        off = 42 + b * 100
+        pkt[off:off + 2] = b"\xff\xee"
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = az.to_bytes(2, "big")
+        for rec in range(32):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = int(dist_m / 0.005).to_bytes(2, "big")
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+def make_rs_ruby_packet(dist_m=30.0, azimuth_deg=0.0, intensity=50):
+    pkt = bytearray(1248)
+    pkt[0:4] = (0x5A05AA55).to_bytes(4, "little")
+    blk_size = 4 + 80 * 3
+    for b in range(4):
+        off = 80 + b * blk_size
+        pkt[off] = 0xFE
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = az.to_bytes(2, "big")
+        for rec in range(80):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = int(dist_m / 0.005).to_bytes(2, "big")
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+def make_rs_helios_packet(dist_m=25.0, azimuth_deg=0.0, intensity=40):
+    pkt = bytearray(1248)
+    pkt[0:4] = (0x5A05AA55).to_bytes(4, "little")
+    for b in range(12):
+        off = 42 + b * 100
+        pkt[off:off + 2] = b"\xff\xee"
+        az = int(azimuth_deg * 100) % 36000
+        pkt[off + 2:off + 4] = az.to_bytes(2, "big")
+        for rec in range(32):
+            r = off + 4 + rec * 3
+            pkt[r:r + 2] = int(dist_m / 0.0025).to_bytes(2, "big")
+            pkt[r + 2] = intensity
+    return bytes(pkt)
+
+
+def make_rs_m1_packet(dist_m=40.0, pitch_deg=5.0, yaw_deg=10.0, intensity=90):
+    pkt = bytearray(1210)
+    pkt[0:4] = (0xA55AAA55).to_bytes(4, "little")
+    blk_size = 2 + 5 * 9
+    for b in range(25):
+        off = 32 + b * blk_size
+        for ch in range(5):
+            r = off + 2 + ch * 9
+            pkt[r:r + 2] = int(dist_m / 0.005).to_bytes(2, "big")
+            pkt[r + 2:r + 4] = (int(pitch_deg * 100) + 32768).to_bytes(2, "big")
+            pkt[r + 4:r + 6] = (int(yaw_deg * 100) + 32768).to_bytes(2, "big")
+            pkt[r + 6] = intensity
+    return bytes(pkt)
+
+
+def make_ouster_v3_packet(rings=32, range_mm=15000, m_id0=0, signal=1024):
+    import struct as st
+    col_bytes = 12 + rings * 12
+    pkt = bytearray(32 + 16 * col_bytes)
+    st.pack_into("<H", pkt, 0, 1)     # packet_type
+    st.pack_into("<H", pkt, 2, 7)     # frame_id
+    for c in range(16):
+        off = 32 + c * col_bytes
+        st.pack_into("<Q", pkt, off, 5000 + c)
+        st.pack_into("<H", pkt, off + 8, (m_id0 + c) % 1024)
+        st.pack_into("<H", pkt, off + 10, 1)  # status: valid
+        for ch in range(rings):
+            r = off + 12 + ch * 12
+            st.pack_into("<I", pkt, r, range_mm)
+            st.pack_into("<H", pkt, r + 6, signal)
+    return bytes(pkt)
+
+
+def _decode_one(fn, pkt, **kw):
+    buf = np.zeros((1, max(2048, len(pkt))), np.uint8)
+    buf[0, :len(pkt)] = np.frombuffer(pkt, np.uint8)
+    return fn(buf, np.asarray([len(pkt)], np.uint32), **kw)
+
+
+class TestNewDecoders:
+    def test_lsc16(self, lib):
+        out = _decode_one(native.decode_lsc16, make_lsc16_packet(dist_m=10.0))
+        assert len(out) == 384
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 10.0, atol=0.02)
+        np.testing.assert_allclose(out[:, 3], 77 / 255.0, atol=1e-6)
+        # 16 distinct elevations spanning -15..15 deg
+        z = np.unique(np.round(out[:, 2], 3))
+        assert z.min() < -2.5 and z.max() > 2.5
+
+    def test_rs32(self, lib):
+        out = _decode_one(native.decode_rs32, make_rs32_packet(dist_m=20.0))
+        assert len(out) == 384
+        # xy radius ~ dist*cos(vert) + lens-center correction
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 20.0, atol=0.1)
+        # vertical calibration spans -25 deg (channel 16) to +15 deg
+        z = out[:, 2]
+        assert z.min() < -6.0 and z.max() > 4.0
+
+    def test_rs_ruby(self, lib):
+        out = _decode_one(native.decode_rs_ruby, make_rs_ruby_packet(dist_m=30.0))
+        assert len(out) == 4 * 80
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 30.0, atol=0.1)
+
+    def test_rs_helios_32_and_16p(self, lib):
+        pkt = make_rs_helios_packet(dist_m=25.0)
+        out32 = _decode_one(native.decode_rs_helios, pkt, n_lasers=32)
+        out16 = _decode_one(native.decode_rs_helios, pkt, n_lasers=16)
+        assert len(out32) == 384 and len(out16) == 384
+        np.testing.assert_allclose(np.linalg.norm(out32[:, :3], axis=1),
+                                   25.0, atol=0.1)
+        # Helios-32 covers -25 deg; the 16P ladder only -15..15
+        assert out32[:, 2].min() < -8.0
+        assert out16[:, 2].min() > -8.0
+
+    def test_rs_m1(self, lib):
+        out = _decode_one(native.decode_rs_m1,
+                          make_rs_m1_packet(dist_m=40.0, pitch_deg=5.0,
+                                            yaw_deg=10.0))
+        assert len(out) == 125
+        np.testing.assert_allclose(np.linalg.norm(out[:, :3], axis=1),
+                                   40.0, atol=0.05)
+        exp_z = 40.0 * np.sin(np.deg2rad(5.0))
+        np.testing.assert_allclose(out[:, 2], exp_z, atol=0.02)
+        exp_y = 40.0 * np.cos(np.deg2rad(5.0)) * np.sin(np.deg2rad(10.0))
+        np.testing.assert_allclose(out[:, 1], exp_y, atol=0.02)
+
+    def test_ouster_v3(self, lib):
+        rings = 32
+        pkt = make_ouster_v3_packet(rings=rings, range_mm=15000)
+        alt, az = native.ouster_beam_tables(rings, fov_deg=45.0)
+        out = _decode_one(native.decode_ouster_v3, pkt, rings=rings,
+                          beam_alt_deg=alt, beam_az_deg=az)
+        assert len(out) == 16 * rings
+        r = np.linalg.norm(out[:, :3], axis=1)
+        np.testing.assert_allclose(r, 15.0, atol=0.05)
+        z = out[:rings, 2]
+        assert z.max() > 5.0 and z.min() < -5.0
+        np.testing.assert_allclose(out[:, 3], 1024 / 2048.0, atol=1e-6)
+
+    def test_full_registry(self, lib):
+        expected = {"VLP-16", "LS-C-16", "RS-16", "RS-32", "RS-Ruby-Lite",
+                    "RS-Helios", "RS-Helios-16P", "RS-M1", "Livox-Mid-360",
+                    "Ouster-OS1", "Ouster-OS1-128", "Ouster-OS2-128",
+                    "Ouster-OS1-128-v3", "Custom"}
+        assert expected <= set(native.DECODERS)
