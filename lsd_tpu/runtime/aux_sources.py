@@ -59,19 +59,29 @@ class RadarSource(Module):
 
 
 class InsSource(Module):
-    """GPCHC-over-UDP INS ingest + per-frame motion trigger.
+    """INS ingest (GPCHC over UDP or serial; BDDB0B binary; Livox IMU) +
+    per-frame motion trigger.
 
     Other sources call ``trigger(ts)`` (exported interface ins.trigger) to
     stamp their frames with pose/motion/imu — the reference's InsDriver
-    trigger semantics (ins_driver.cpp:258-312)."""
+    trigger semantics (ins_driver.cpp:258-312).  The serial transport
+    mirrors ins_driver.cpp:385-438 (raw termios, reopen on error); binary
+    frames are detected per chunk so GPCHC/BDDB0B units work unconfigured."""
 
-    def __init__(self, cfg, port: int = 0):
+    def __init__(self, cfg, port: int = 0, device: str = "",
+                 baud: int = 230400):
         super().__init__("InsSource")
         self.tracker = InsMotionTracker()
         self.sock: Optional[socket.socket] = None
-        self.port = int(getattr(getattr(cfg, "ins", {}), "port", port) or port)
+        ins_cfg = getattr(cfg, "ins", {})
+        self.port = int(getattr(ins_cfg, "port", port) or port)
+        self.device = str(getattr(ins_cfg, "device", device) or device)
+        self.baud = int(getattr(ins_cfg, "baud", baud) or baud)
+        self.serial = None
         self._rx_thread: Optional[threading.Thread] = None
         self._stop_rx = threading.Event()
+        self._bin_buf = b""
+        self._position_type = 0
         self.last_fix: Optional[Dict] = None
         register_interface("ins.trigger", self.trigger)
         register_interface("ins.get_status",
@@ -90,6 +100,13 @@ class InsSource(Module):
             self._rx_thread = threading.Thread(target=self._rx_loop,
                                                name="InsRx", daemon=True)
             self._rx_thread.start()
+        elif self.device:
+            from ..sensors.serial_port import SerialPort
+            self.serial = SerialPort(self.device, self.baud)
+            self._stop_rx.clear()
+            self._rx_thread = threading.Thread(target=self._serial_loop,
+                                               name="InsSerialRx", daemon=True)
+            self._rx_thread.start()
 
     def release(self) -> None:
         self._stop_rx.set()
@@ -99,6 +116,9 @@ class InsSource(Module):
         if self.sock:
             self.sock.close()
             self.sock = None
+        if self.serial:
+            self.serial.close()
+            self.serial = None
 
     def _rx_loop(self) -> None:
         while not self._stop_rx.is_set():
@@ -108,21 +128,65 @@ class InsSource(Module):
                 continue
             except OSError:
                 break
-            for line in data.decode(errors="replace").splitlines():
-                self.feed_sentence(line)
+            self.feed_bytes(data)
+
+    def _serial_loop(self) -> None:
+        # reopen-on-error loop (ref ins_driver.cpp:390-396)
+        while not self._stop_rx.is_set():
+            if not self.serial.is_open:
+                try:
+                    self.serial.open()
+                except OSError:
+                    time.sleep(1.0)
+                    continue
+            try:
+                data = self.serial.read()
+            except OSError:
+                self.serial.close()
+                continue
+            if data:
+                self.feed_bytes(data)
+
+    def feed_bytes(self, data: bytes) -> None:
+        """Protocol sniffing: Livox IMU (exactly 60-byte datagram), BDDB0B
+        binary stream, or ASCII GPCHC lines."""
+        from ..io.ins_binary import parse_bddb0b, parse_livox_imu
+        if len(data) == 60:
+            fix = parse_livox_imu(data)
+            if fix is not None:
+                self.feed_fix(fix)
+                return
+        if b"\xbd\xdb\x0b" in data or self._bin_buf:
+            self._bin_buf += data
+            while True:
+                fix, self._bin_buf, self._position_type = parse_bddb0b(
+                    self._bin_buf, self._position_type)
+                if fix is None:
+                    break
+                self.feed_fix(fix)
+            if len(self._bin_buf) > 4096:
+                self._bin_buf = self._bin_buf[-256:]
+            return
+        for line in data.decode(errors="replace").splitlines():
+            self.feed_sentence(line)
+
+    def feed_fix(self, fix: Dict) -> None:
+        if not fix.get("imu_only"):
+            self.tracker.feed_fix(fix)
+        self.tracker.feed_imu(fix["timestamp"],
+                              [fix["gyro_x"], fix["gyro_y"], fix["gyro_z"]],
+                              [fix["acc_x"], fix["acc_y"], fix["acc_z"]])
+        if not fix.get("imu_only"):
+            self.last_fix = fix
 
     def feed_sentence(self, sentence: str) -> None:
         fix = parse_gpchc(sentence)
         if fix is None:
             return
-        self.tracker.feed_fix(fix)
-        self.tracker.feed_imu(fix["timestamp"],
-                              [fix["gyro_x"], fix["gyro_y"], fix["gyro_z"]],
-                              [fix["acc_x"], fix["acc_y"], fix["acc_z"]])
-        # publish last_fix only after the tracker ingested it — consumers
-        # poll last_fix as the readiness signal (first feed traces jax code
-        # for ~1 s; setting it earlier races trigger() against feed_fix)
-        self.last_fix = fix
+        # feed_fix publishes last_fix only after the tracker ingested it —
+        # consumers poll last_fix as the readiness signal (first feed traces
+        # jax code for ~1 s; setting it earlier races trigger())
+        self.feed_fix(fix)
 
     def trigger(self, ts_us: int) -> Dict:
         out = self.tracker.trigger(int(ts_us))

@@ -74,3 +74,111 @@ class TestInsSource:
             assert status["valid"]
         finally:
             src.release()
+
+
+class TestBinaryIns:
+    def test_bddb0b_roundtrip(self):
+        from lsd_tpu.io.ins_binary import format_bddb0b, parse_bddb0b
+        src = dict(heading=91.5, pitch=1.25, roll=-0.5,
+                   gyro_x=1.0, gyro_y=-2.0, gyro_z=0.25,
+                   acc_x=0.01, acc_y=-0.02, acc_z=1.0,
+                   latitude=31.123456, longitude=121.654321, altitude=15.2,
+                   Ve=1.5, Vn=-0.75, Vu=0.1, Status=42)
+        raw = format_bddb0b(src)
+        fix, rest, ptype = parse_bddb0b(b"junk" + raw + b"tail")
+        assert fix is not None
+        assert ptype == 42 and fix["Status"] == 42
+        assert abs(fix["heading"] - src["heading"]) < 0.02
+        assert abs(fix["latitude"] - src["latitude"]) < 1e-6
+        assert abs(fix["longitude"] - src["longitude"]) < 1e-6
+        assert abs(fix["altitude"] - src["altitude"]) < 0.01
+        assert abs(fix["gyro_y"] - src["gyro_y"]) < 0.02
+        assert abs(fix["acc_z"] - src["acc_z"]) < 0.001
+        assert abs(fix["Ve"] - src["Ve"]) < 0.01
+
+    def test_bddb0b_bad_checksum(self):
+        from lsd_tpu.io.ins_binary import format_bddb0b, parse_bddb0b
+        raw = bytearray(format_bddb0b(dict(heading=10.0)))
+        raw[20] ^= 0xFF  # corrupt
+        fix, rest, _ = parse_bddb0b(bytes(raw))
+        assert fix is None
+
+    def test_livox_imu(self):
+        import struct
+        from lsd_tpu.io.ins_binary import parse_livox_imu
+        pkt = bytearray(60)
+        pkt[10] = 0  # data_type: IMU
+        struct.pack_into("<6f", pkt, 36, 0.1, -0.2, 0.3, 0.0, 0.0, 1.0)
+        fix = parse_livox_imu(bytes(pkt))
+        assert fix is not None and fix["imu_only"]
+        assert abs(fix["gyro_x"] - np.rad2deg(0.1)) < 1e-4
+        assert abs(fix["acc_z"] - 1.0) < 1e-6
+        assert parse_livox_imu(bytes(pkt[:59])) is None
+
+    def test_ins_source_binary_stream(self):
+        from lsd_tpu.runtime.config import AttrDict as EasyDict
+        from lsd_tpu.io.ins_binary import format_bddb0b
+        from lsd_tpu.runtime.aux_sources import InsSource
+        src = InsSource(EasyDict(dict(ins={})))
+        raw = format_bddb0b(dict(heading=45.0, latitude=31.0, longitude=121.0,
+                                 altitude=10.0, Status=4))
+        # stream split across chunks exercises reassembly
+        src.feed_bytes(raw[:20])
+        assert src.last_fix is None
+        src.feed_bytes(raw[20:])
+        assert src.last_fix is not None
+        assert abs(src.last_fix["heading"] - 45.0) < 0.02
+
+
+class TestSerialPort:
+    def test_pty_roundtrip(self):
+        import os, pty
+        from lsd_tpu.sensors.serial_port import SerialPort
+        master, slave = pty.openpty()
+        try:
+            port = SerialPort(os.ttyname(slave), baud=115200, timeout_s=0.5)
+            port.open()
+            os.write(master, b"$GPCHC,test\r\n")
+            got = b""
+            for _ in range(10):
+                got += port.read()
+                if b"\n" in got:
+                    break
+            assert b"$GPCHC,test" in got
+            port.write(b"ack")
+            assert os.read(master, 16) == b"ack"
+            port.close()
+        finally:
+            os.close(master)
+            os.close(slave)
+
+    def test_ins_source_serial(self):
+        import os, pty, time
+        from lsd_tpu.runtime.config import AttrDict as EasyDict
+        from lsd_tpu.runtime.aux_sources import InsSource
+        from lsd_tpu.io.gpchc import format_gpchc
+        master, slave = pty.openpty()
+        try:
+            src = InsSource(EasyDict(dict(ins=dict(device=os.ttyname(slave),
+                                                   baud=115200))))
+            src.setup(None)
+            line = format_gpchc(dict(heading=10.0, pitch=0.0, roll=0.0,
+                                     gyro_x=0, gyro_y=0, gyro_z=0,
+                                     acc_x=0, acc_y=0, acc_z=1,
+                                     latitude=31.0, longitude=121.0,
+                                     altitude=5.0, Ve=0, Vn=0, Vu=0,
+                                     baseline=0, NSV1=10, NSV2=10, Status=42,
+                                     age=0, Warnning=0,
+                                     timestamp=int(time.time() * 1e6)))
+            # resend until the rx thread has opened its side of the pty
+            for _ in range(50):
+                os.write(master, (line + "\r\n").encode())
+                if src.last_fix is not None:
+                    break
+                time.sleep(0.1)
+            src.release()
+            assert src.last_fix is not None
+            assert abs(src.last_fix["latitude"] - 31.0) < 1e-6
+        finally:
+            os.close(master)
+            os.close(slave)
