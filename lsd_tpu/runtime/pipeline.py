@@ -173,6 +173,8 @@ class DataBank(Module):
         super().__init__(name, queue_size=1)
         self.latest: Optional[Dict] = None
         self._lock = threading.Lock()
+        from .interface import register_interface
+        register_interface("databank.get_latest", self.get_latest)
 
     def process(self, data: Dict) -> Optional[Dict]:
         with self._lock:

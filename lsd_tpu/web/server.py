@@ -58,6 +58,8 @@ class PerceptionServer:
             ("GET", "/v1/message-meta"): self._message_meta,
             ("POST", "/v1/message-data"): self._message_data,
             ("POST", "/v1/ipc-enable"): self._ipc_enable,
+            ("POST", "/v1/detection-json"): self._detection_json,
+            ("GET", "/v1/detection-json"): self._detection_json,
             ("POST", "/api"): self._jsonrpc,
         }
         self._message_server = None
@@ -98,6 +100,57 @@ class PerceptionServer:
                 return data
         return b""
 
+    def _detection_json(self, body: Dict) -> Dict:
+        """JSON preview frame for the built-in web UI (points as base64
+        float32 xyzi; objects in proto field names; pose; jpeg images)."""
+        import base64
+
+        import numpy as np
+        out: Dict[str, Any] = {"valid": False}
+        frame = (call_interface("databank.get_latest")
+                 if has_interface("databank.get_latest") else None)
+        if frame is None:
+            return out
+        out["valid"] = True
+        out["timestamp"] = int(frame.get("frame_start_timestamp", 0))
+        max_pts = int(body.get("max_points", 60000)) if isinstance(body, dict) else 60000
+        clouds = [np.asarray(p, np.float32).reshape(-1, 4)
+                  for p in frame.get("points", {}).values()]
+        if clouds:
+            pts = np.concatenate(clouds, axis=0)
+            if len(pts) > max_pts:
+                pts = pts[:: len(pts) // max_pts + 1]
+            out["points_b64"] = base64.b64encode(
+                np.ascontiguousarray(pts, np.float32).tobytes()).decode()
+            out["num_points"] = int(len(pts))
+        objs = []
+        for o in frame.get("objects", []):
+            b = np.asarray(o.get("box", np.zeros(7)), float)
+            objs.append(dict(id=int(o.get("id", 0)),
+                             label=int(o.get("label", 0)),
+                             score=float(o.get("score", 0.0)),
+                             box=[float(v) for v in b[:7]],
+                             velocity=[float(v) for v in
+                                       np.asarray(o.get("velocity", [0, 0, 0]), float)[:3]],
+                             trajectory=[[float(v) for v in row[:3]]
+                                         for row in np.asarray(
+                                             o.get("trajectory", np.zeros((0, 7))), float)]))
+        out["objects"] = objs
+        if has_interface("slam.get_pose"):
+            out["pose"] = call_interface("slam.get_pose")
+        ins = frame.get("ins_data") or {}
+        if ins:
+            out["ins"] = {k: ins.get(k, 0) for k in
+                          ("latitude", "longitude", "altitude", "heading",
+                           "Status")}
+        images = {}
+        for name, img in (frame.get("image") or {}).items():
+            if isinstance(img, (bytes, bytearray)):
+                images[name] = base64.b64encode(bytes(img)).decode()
+        if images:
+            out["images_b64"] = images
+        return out
+
     def _call_ok(self, name: str, *args) -> Dict:
         if not has_interface(name):
             return {"status": "error", "message": f"no interface {name}"}
@@ -135,6 +188,8 @@ class PerceptionServer:
                 path = self.path.split("?")[0]
                 fn = routes.get((method, path))
                 if fn is None:
+                    if method == "GET" and self._serve_static(path):
+                        return
                     self.send_response(404)
                     self.end_headers()
                     return
@@ -173,6 +228,30 @@ class PerceptionServer:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(json.dumps(out).encode())
+
+            def _serve_static(self, path: str) -> bool:
+                """Serve the built-in UI from web/www (ref: Flask serving
+                the prebuilt www/ bundle, web_backend/server.py:34-40)."""
+                import mimetypes
+                import os
+                www = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "www")
+                rel = path.lstrip("/") or "index.html"
+                full = os.path.realpath(os.path.join(www, rel))
+                if not full.startswith(os.path.realpath(www) + os.sep) and \
+                        full != os.path.realpath(os.path.join(www, "index.html")):
+                    return False
+                if not os.path.isfile(full):
+                    return False
+                ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+                with open(full, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return True
 
             def do_GET(self):
                 self._dispatch("GET")

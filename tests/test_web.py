@@ -97,3 +97,49 @@ class TestWebApi:
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+class TestBuiltinUi:
+    def test_index_served(self, server):
+        url, _ = server
+        status, body = _get(url + "/")
+        assert status == 200
+        assert b"<!DOCTYPE html>" in body and b"LSD-TPU" in body
+        status, body = _get(url + "/index.html")
+        assert status == 200
+
+    def test_static_path_traversal_blocked(self, server):
+        url, _ = server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(url + "/../server.py")
+        assert e.value.code == 404
+
+    def test_detection_json(self, server):
+        url, _ = server
+        import base64
+        import numpy as np
+        d = None
+        for _ in range(30):
+            status, body = _post(url + "/v1/detection-json", {})
+            d = json.loads(body)
+            if d.get("valid"):
+                break
+            time.sleep(0.1)
+        assert d and d["valid"]
+        raw = base64.b64decode(d["points_b64"])
+        assert len(raw) % 16 == 0
+        pts = np.frombuffer(raw, np.float32).reshape(-1, 4)
+        assert len(pts) == d["num_points"] and len(pts) > 0
+        assert np.isfinite(pts).all()
+        assert isinstance(d["objects"], list)
+
+    def test_detection_json_subsample(self, server):
+        url, _ = server
+        for _ in range(30):
+            status, body = _post(url + "/v1/detection-json",
+                                 {"max_points": 10})
+            d = json.loads(body)
+            if d.get("valid"):
+                break
+            time.sleep(0.1)
+        assert d["valid"] and d["num_points"] <= 20
