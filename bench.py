@@ -102,6 +102,25 @@ def main():
     pgo_dt = time.perf_counter() - t0
     pgo_iters_per_sec = pcfg.outer_iters * n_pgo / pgo_dt
 
+    # tertiary metric: detection end-to-end latency (voxelize + pillar VFE
+    # + BEV backbone + CenterPoint head + NMS) on a 131k-point frame.
+    # Reference: ~80 ms TRT FP16 on Xavier NX / 30 FPS+ on SM80 GPU
+    # (BASELINE.md rows 3-4).
+    from lsd_tpu.runtime.modules import build_detector_predict_fn
+    predict = build_detector_predict_fn()
+    rng_np = np.random.default_rng(0)
+    det_pts = jnp.asarray(rng_np.normal(scale=20, size=(2 ** 17, 4))
+                          .astype(np.float32))
+    det_mask = jnp.ones((2 ** 17,), bool)
+    print("bench: detector compile...", file=sys.stderr, flush=True)
+    r = predict(det_pts, det_mask)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        r = predict(det_pts, det_mask)
+    jax.block_until_ready(r)
+    det_ms = (time.perf_counter() - t0) / 50 * 1000
+
     # all timing done — D2H fetches are safe now
     errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
             for p, d in zip(poses, dev_data[N_WARM:])]
@@ -115,6 +134,7 @@ def main():
         "vs_baseline": round(scans_per_sec / ref_scans_per_sec, 3),
         "ate_rmse_m": round(ate, 4),
         "pgo_gn_rounds_per_sec_1k_nodes": round(pgo_iters_per_sec, 2),
+        "detection_ms_131k_pts": round(det_ms, 3),
     }))
 
 

@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..slam.imu import rot_between
 
 
@@ -68,7 +69,7 @@ def lidar_ground_calibration(points: np.ndarray,
     T = np.eye(4)
     T[:3, :3] = R
     T[2, 3] = height if sensor_height_hint is None else sensor_height_hint
-    rpy = np.asarray(so3.matrix_to_rpy(jnp.asarray(R, jnp.float32)))
+    rpy = np_so3.matrix_to_rpy(np.asarray(R, float))
     return T, dict(normal=n, height=height, inlier_frac=float(inliers.mean()),
                    roll=float(rpy[0]), pitch=float(rpy[1]))
 

@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 
 
 def align_trajectories(src: np.ndarray, dst: np.ndarray,
@@ -78,15 +79,15 @@ def hand_eye_calibration(poses_a: Sequence[np.ndarray],
     # rotation: sum_i |L(qa_i) - R(qb_i)| q = 0
     M = np.zeros((4, 4))
     for Ta, Tb in zip(A_rel, B_rel):
-        qa = np.asarray(so3.matrix_to_quat(jnp.asarray(Ta[:3, :3], jnp.float32)), float)
-        qb = np.asarray(so3.matrix_to_quat(jnp.asarray(Tb[:3, :3], jnp.float32)), float)
+        qa = np_so3.matrix_to_quat(Ta[:3, :3])
+        qb = np_so3.matrix_to_quat(Tb[:3, :3])
         C = _quat_mult_matrix_left(qa) - _quat_mult_matrix_right(qb)
         M += C.T @ C
     w, V = np.linalg.eigh(M)
     qx = V[:, 0]
     if qx[0] < 0:
         qx = -qx
-    Rx = np.asarray(so3.quat_to_matrix(jnp.asarray(qx, jnp.float32)), float)
+    Rx = np_so3.quat_to_matrix(qx)
 
     # translation: (R_a - I) t_x = R_x t_b - t_a
     rows, rhs = [], []

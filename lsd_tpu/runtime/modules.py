@@ -209,13 +209,16 @@ def build_detector_predict_fn(weights: Optional[str] = None,
         params = load_params(weights, params)
     pcfg = PostProcessConfig()
 
+    # params flow through as jit ARGUMENTS, not captured constants —
+    # captured device buffers cost a host round-trip per call and degrade
+    # dispatch on tunneled TPU backends (tests/test_no_captured_consts.py)
     @jax.jit
-    def predict(points, mask):
-        preds = model.apply(params, points[:, :4], mask)
+    def predict(p, points, mask):
+        preds = model.apply(p, points[:, :4], mask)
         boxes, scores, labels, bmask = model.decode(preds)
         return postprocess(pcfg, boxes, scores, labels, bmask)
 
-    return predict
+    return lambda points, mask: predict(params, points, mask)
 
 
 class DetectModule(Module):

@@ -12,16 +12,18 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax.numpy as jnp
 
-from ..geometry import so3
+from ..geometry import np_so3
 from .posegraph import (FloorPriors, GpsPriors, GraphNodes, OrientPriors,
                         PoseGraphData, Se3Edges)
 
-import jax.numpy as jnp
-
 
 def _quat_from_T(T: np.ndarray) -> np.ndarray:
-    return np.asarray(so3.matrix_to_quat(jnp.asarray(T[:3, :3], jnp.float32)))
+    # host-side numpy on purpose: per-node eager jnp here both costs a
+    # device round-trip per call and (on tunneled TPU backends) degrades
+    # the session's async dispatch
+    return np_so3.matrix_to_quat(T[:3, :3]).astype(np.float32)
 
 
 class PoseGraphBuilder:
@@ -46,7 +48,7 @@ class PoseGraphBuilder:
 
     def node_pose(self, i: int) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(self.quat[i])))
+        T[:3, :3] = np_so3.quat_to_matrix(self.quat[i])
         T[:3, 3] = self.pos[i]
         return T
 

@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..ops import voxel_downsample
 from ..ops.surfel import surfel_create, surfel_insert, surfel_match, surfel_trim
 import jax
@@ -73,7 +74,7 @@ class IcpOdometry:
             for _ in range(cfg.iters):
                 q, t, nvalid = _align_step(self.map, ds, ds_mask, q, t)
             new_pose = np.eye(4)
-            new_pose[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+            new_pose[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
             new_pose[:3, 3] = np.asarray(t)
             self.prev_delta = np.linalg.inv(self.pose) @ new_pose
             self.pose = new_pose

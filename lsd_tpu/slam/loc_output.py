@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..geometry.utm import UTMProjector
 from ..io.gpchc import format_gpchc
 
@@ -46,7 +47,7 @@ class LocalizationOutput:
             if self.projector.origin is None:
                 return None   # no geo anchor: metric-only map
             lat, lon = self.projector.unproject(pose[0, 3], pose[1, 3])
-            rpy = np.asarray(so3.matrix_to_rpy(jnp.asarray(pose[:3, :3], jnp.float32)))
+            rpy = np_so3.matrix_to_rpy(pose[:3, :3])
             heading = (90.0 - np.rad2deg(float(rpy[2]))) % 360.0
             sentence = format_gpchc(dict(
                 timestamp=stamp_us,

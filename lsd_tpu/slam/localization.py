@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..ops import hashmap_create, hashmap_insert
 from .keyframe import Keyframe, KeyframeStore
 from .map_io import load_map
@@ -133,7 +134,7 @@ class Localizer:
         tm[:len(target)] = True
         m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
         m = hashmap_insert(m, jnp.asarray(pad), jnp.asarray(tm))
-        Rz = np.asarray(so3.exp_so3(jnp.asarray([0.0, 0.0, -yaw0], jnp.float32)))
+        Rz = np_so3.exp_so3([0.0, 0.0, -float(yaw0)])
         R0 = cand_pose[:3, :3] @ Rz
         q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
         t0 = jnp.asarray(cand_pose[:3, 3], jnp.float32)
@@ -142,7 +143,7 @@ class Localizer:
         if float(info["fitness"]) < self.cfg.reloc_fitness_thresh:
             return None
         T = np.eye(4)
-        T[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
         T[:3, 3] = np.asarray(t)
         return T
 

@@ -26,6 +26,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..geometry import np_so3
+
 from ..io.pcd import read_pcd, write_pcd
 
 
@@ -99,11 +101,9 @@ def load_keyframe(kf_dir: str) -> Tuple[int, np.ndarray, np.ndarray, Dict[str, b
 
 
 def save_odometry(graph_dir: str, stamps_us: List[int], poses: List[np.ndarray]) -> None:
-    from ..geometry import so3
-    import jax.numpy as jnp
     with open(os.path.join(graph_dir, "odometrys.txt"), "w") as f:
         for s, T in zip(stamps_us, poses):
-            q = np.asarray(so3.matrix_to_quat(jnp.asarray(T[:3, :3], jnp.float32)))
+            q = np_so3.matrix_to_quat(T[:3, :3])
             t = T[:3, 3]
             f.write("%.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n"
                     % (s / 1e6, t[0], t[1], t[2], q[1], q[2], q[3], q[0]))
@@ -114,18 +114,16 @@ def save_g2o(graph_dir: str, poses: List[np.ndarray],
              fixed: Optional[List[int]] = None) -> None:
     """Write graph.g2o: VERTEX_SE3:QUAT + EDGE_SE3:QUAT (+FIX), g2o text
     conventions (qx qy qz qw order, 21 upper-triangular information)."""
-    from ..geometry import so3
-    import jax.numpy as jnp
     with open(os.path.join(graph_dir, "graph.g2o"), "w") as f:
         for i, T in enumerate(poses):
-            q = np.asarray(so3.matrix_to_quat(jnp.asarray(T[:3, :3], jnp.float32)))
+            q = np_so3.matrix_to_quat(T[:3, :3])
             t = T[:3, 3]
             f.write("VERTEX_SE3:QUAT %d %.9f %.9f %.9f %.9f %.9f %.9f %.9f\n"
                     % (i, t[0], t[1], t[2], q[1], q[2], q[3], q[0]))
         for i in (fixed or []):
             f.write("FIX %d\n" % i)
         for (i, j, T_ij, info6) in edges:
-            q = np.asarray(so3.matrix_to_quat(jnp.asarray(T_ij[:3, :3], jnp.float32)))
+            q = np_so3.matrix_to_quat(T_ij[:3, :3])
             t = T_ij[:3, 3]
             I = np.zeros((6, 6))
             np.fill_diagonal(I, np.asarray(info6))
@@ -141,8 +139,6 @@ def save_g2o(graph_dir: str, poses: List[np.ndarray],
 
 def load_g2o(path: str):
     """Parse graph.g2o -> (poses dict id->4x4, edges list, fixed ids)."""
-    from ..geometry import so3
-    import jax.numpy as jnp
     poses: Dict[int, np.ndarray] = {}
     edges = []
     fixed = []
@@ -156,7 +152,7 @@ def load_g2o(path: str):
                 t = np.asarray([float(v) for v in p[2:5]])
                 qx, qy, qz, qw = [float(v) for v in p[5:9]]
                 T = np.eye(4)
-                T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+                T[:3, :3] = np_so3.quat_to_matrix([qw, qx, qy, qz])
                 T[:3, 3] = t
                 poses[i] = T
             elif p[0] == "EDGE_SE3:QUAT":
@@ -164,7 +160,7 @@ def load_g2o(path: str):
                 t = np.asarray([float(v) for v in p[3:6]])
                 qx, qy, qz, qw = [float(v) for v in p[6:10]]
                 T = np.eye(4)
-                T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+                T[:3, :3] = np_so3.quat_to_matrix([qw, qx, qy, qz])
                 T[:3, 3] = t
                 upper = [float(v) for v in p[10:31]]
                 I = np.zeros((6, 6))

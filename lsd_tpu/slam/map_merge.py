@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..ops import hashmap_create, hashmap_insert
 from .graph_builder import PoseGraphBuilder
 from .keyframe import Keyframe, KeyframeStore
@@ -74,7 +75,7 @@ def find_cross_edges(store_a: KeyframeStore, store_b: KeyframeStore,
         m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
         m = hashmap_insert(m, TP, TM)
         # initial guess: candidate pose with SC yaw
-        Rz = np.asarray(so3.exp_so3(jnp.asarray([0.0, 0.0, -float(yaw)], jnp.float32)))
+        Rz = np_so3.exp_so3([0.0, 0.0, -float(yaw)])
         R0 = kf_a.pose[:3, :3] @ Rz
         q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
         t0 = jnp.asarray(kf_a.pose[:3, 3], jnp.float32)
@@ -82,7 +83,7 @@ def find_cross_edges(store_a: KeyframeStore, store_b: KeyframeStore,
         if float(info["fitness"]) < fitness_thresh:
             continue
         T_b_in_a = np.eye(4)
-        T_b_in_a[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T_b_in_a[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
         T_b_in_a[:3, 3] = np.asarray(t)
         T_rel = np.linalg.inv(kf_a.pose) @ T_b_in_a
         edges.append((i, j, T_rel))
@@ -179,7 +180,7 @@ def merge_maps(map_a_dir: str, map_b_dir: str,
         edges_out = []
         for (i, j, q, t, si) in b.se3:
             T = np.eye(4)
-            T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))
+            T[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
             T[:3, 3] = t
             edges_out.append((i, j, T, np.asarray(si[:6]) ** 2))
         origin = da.get("origin") if da.get("origin") is not None else np.zeros(3)

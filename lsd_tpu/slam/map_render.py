@@ -13,6 +13,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..geometry import np_so3
+
 try:
     import cv2
     HAS_CV2 = True
@@ -85,7 +87,6 @@ def export_colmap(out_dir: str, keyframes: Sequence, K: np.ndarray,
                   map_points: Optional[np.ndarray] = None) -> str:
     """Write a COLMAP text model (cameras.txt / images.txt / points3D.txt)
     plus the keyframe images (ref colmap_utils.cpp)."""
-    from ..geometry import so3
     import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
@@ -110,7 +111,7 @@ def export_colmap(out_dir: str, keyframes: Sequence, K: np.ndarray,
             # COLMAP wants world->camera
             T_wc = kf.pose @ np.linalg.inv(Tcl)     # camera pose in world
             T_cw = np.linalg.inv(T_wc)
-            q = np.asarray(so3.matrix_to_quat(jnp.asarray(T_cw[:3, :3], jnp.float32)), float)
+            q = np_so3.matrix_to_quat(T_cw[:3, :3])
             t = T_cw[:3, 3]
             name = "%06d.jpg" % kf.id
             with open(os.path.join(img_dir, name), "wb") as imf:

@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import so3
+from ..geometry import np_so3
 from ..ops import hashmap_create, hashmap_insert, voxel_downsample
 from .graph_builder import PoseGraphBuilder
 from .keyframe import Keyframe, KeyframeStore, KeyframeUpdater
@@ -193,7 +194,7 @@ class Mapper:
         if float(icp_info["fitness"]) < cfg.loop_fitness_thresh:
             return None
         T_w = np.eye(4)
-        T_w[:3, :3] = np.asarray(so3.quat_to_matrix(q))
+        T_w[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
         T_w[:3, 3] = np.asarray(t)
         T_rel = np.linalg.inv(cand_kf.pose) @ T_w
         self.graph.add_se3_edge(cand, kid, T_rel, rot_info=200.0, trans_info=200.0)
@@ -219,7 +220,7 @@ class Mapper:
         edges = []
         for (i, j, q, t, si) in self.graph.se3:
             T = np.eye(4)
-            T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))
+            T[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
             T[:3, 3] = t
             edges.append((i, j, T, np.asarray(si[:6]) ** 2))
         origin = self.origin_lla if self.origin_lla is not None else np.zeros(3)

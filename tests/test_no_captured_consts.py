@@ -135,3 +135,61 @@ class TestGraph:
                       st, dt, gyro, acc)
         _assert_clean(lambda s, p, q: ukf_correct(s, p, q, cfg), st,
                       jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+
+
+class TestRegistrationAndSharded:
+    def test_registration(self):
+        from lsd_tpu.ops.hashmap import hashmap_create, hashmap_insert
+        from lsd_tpu.slam.registration import (icp_point_to_plane, ndt_align,
+                                               ndt_build)
+        pts = jnp.zeros((128, 3))
+        mask = jnp.ones((128,), bool)
+        q0 = jnp.asarray([1.0, 0, 0, 0])
+        t0 = jnp.zeros(3)
+        m = ndt_build(pts, mask, 1.0, 256)
+        _assert_clean(lambda p, ms: ndt_build(p, ms, 1.0, 256), pts, mask)
+        _assert_clean(lambda mm, p, ms, q, t: ndt_align(mm, p, ms, q, t),
+                      m, pts, mask, q0, t0)
+        hm = hashmap_insert(hashmap_create(256, 8, 0.5), pts, mask)
+        _assert_clean(lambda mm, p, ms, q, t: icp_point_to_plane(mm, p, ms, q, t),
+                      hm, pts, mask, q0, t0)
+
+    def test_scancontext(self):
+        from lsd_tpu.slam.scancontext import (make_descriptor, sc_db_add,
+                                              sc_db_create, sc_query)
+        pts = jnp.zeros((128, 3))
+        mask = jnp.ones((128,), bool)
+        _assert_clean(make_descriptor, pts, mask)
+        db = sc_db_add(sc_db_create(64), make_descriptor(pts, mask))
+        _assert_clean(lambda d, q: sc_query(d, q), db,
+                      make_descriptor(pts, mask))
+
+    def test_sharded_pgo(self):
+        from jax.sharding import Mesh
+        from lsd_tpu.parallel.sharded_pgo import optimize_sharded
+        from lsd_tpu.slam.graph_builder import PoseGraphBuilder
+        from lsd_tpu.slam.posegraph import PgoConfig
+        b = PoseGraphBuilder()
+        T = np.eye(4, dtype=np.float32)
+        b.add_node(T, fixed=True)
+        rel = np.eye(4, dtype=np.float32)
+        rel[0, 3] = 1.0
+        for k in range(7):
+            T = T @ rel
+            b.add_node(T)
+            b.add_se3_edge(k, k + 1, rel)
+        g = b.to_data()
+        mesh = Mesh(np.asarray(jax.devices()), ("d",))
+        cfg = PgoConfig(outer_iters=1, cg_iters=3)
+        _assert_clean(
+            lambda gg: optimize_sharded(gg, mesh, cfg)[0].pos, g)
+
+    def test_detector(self):
+        from lsd_tpu.models.detector import CenterPointDetector, DetectorConfig
+        cfg = DetectorConfig()
+        model = CenterPointDetector(cfg)
+        pts = jnp.zeros((512, 4))
+        mask = jnp.ones((512,), bool)
+        params = model.init(jax.random.PRNGKey(0), pts, mask)
+        _assert_clean(lambda pr, x, mm: model.apply(pr, x, mm),
+                      params, pts, mask)
