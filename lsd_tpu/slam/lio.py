@@ -58,6 +58,9 @@ class LioConfig(NamedTuple):
                                      # the sim benchmark (0.021 vs 0.023 ATE)
     map_type: str = "surfel"         # "surfel" (moment voxels, fast) or
                                      # "points" (raw-K voxels + 5-NN fit)
+    use_pallas_p2p: bool = False     # fused Pallas measurement reduction
+                                     # (ops/pallas_p2p.py); numerically
+                                     # equivalent to the XLA path
     est_extrinsic: bool = False
     est_gravity: bool = False
     imu_noise: ImuNoise = ImuNoise()
@@ -205,12 +208,26 @@ def lio_step(cfg: LioConfig, st: LioState,
     # with the H of the final iteration).
     def iterate(i, carry):
         nav_i, _, _ = carry
-        H, r, valid, inv_var = _measurement_system(cfg, nav_i, ds_pts, ds_mask,
-                                                   st.map, planes=planes)
-        w = valid.astype(ds_pts.dtype)
-        Hw = H * (w * inv_var)[:, None]
-        HtH = H.T @ Hw
-        Htr = Hw.T @ r
+        if cfg.use_pallas_p2p:
+            from ..ops.pallas_p2p import p2p_reduce
+            normals, dpl, plane_ok, plane_rms = planes
+            inv_var = 1.0 / (cfg.meas_noise ** 2 + plane_rms ** 2)
+            weight = jnp.where(ds_mask & plane_ok, inv_var, 0.0)
+            HtH, Htr, pstats = p2p_reduce(
+                ds_pts, normals, dpl, weight, nav_i.rot, nav_i.ext_rot,
+                nav_i.ext_t, nav_i.pos, cfg.max_resid,
+                est_extrinsic=cfg.est_extrinsic,
+                interpret=jax.default_backend() != "tpu")
+            n_pts_valid, sum_abs_r = pstats[0], pstats[1]
+        else:
+            H, r, valid, inv_var = _measurement_system(
+                cfg, nav_i, ds_pts, ds_mask, st.map, planes=planes)
+            w = valid.astype(ds_pts.dtype)
+            Hw = H * (w * inv_var)[:, None]
+            HtH = H.T @ Hw
+            Htr = Hw.T @ r
+            n_pts_valid = jnp.sum(w)
+            sum_abs_r = jnp.sum(jnp.abs(r) * w)
         E, n_degen = _gate_degenerate(cfg, HtH)
         HtH = E @ HtH @ E.T
         Htr = E @ Htr
@@ -222,7 +239,8 @@ def lio_step(cfg: LioConfig, st: LioState,
         A = HtH + P_inv
         b = Htr + P_inv @ delta
         dx = -jnp.linalg.solve(A, b) * upd_mask
-        stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(r) * w), n_degen.astype(w.dtype)])
+        stats = jnp.stack([n_pts_valid, sum_abs_r,
+                           n_degen.astype(jnp.float32)])
         return boxplus(nav_i, dx), HtH, stats
 
     carry0 = (nav_prop, jnp.zeros((ERR_DIM, ERR_DIM), ds_pts.dtype), jnp.zeros(3, ds_pts.dtype))
