@@ -109,3 +109,50 @@ class TestNcltConverter:
         np.testing.assert_allclose(row[3], 0.05, atol=1e-6)  # gyro z
         assert f.ins is not None and f.ins.valid
         np.testing.assert_allclose(f.ins.latitude, 42.29, atol=1e-6)
+
+
+class TestRecvTool:
+    def test_recv_detection(self):
+        import socket
+        import threading
+        from lsd_tpu.proto.detection import serialize_detection
+        from lsd_tpu.tools.recv import recv_detection
+        port = 28981
+        out = {}
+        th = threading.Thread(
+            target=lambda: out.update(n=recv_detection(port, max_frames=2)))
+        th.start()
+        import time
+        time.sleep(0.3)
+        payload = serialize_detection(dict(
+            timestamp=123, objects=[dict(id=1, label=0, score=0.9,
+                                         box=[1, 2, 0, 4, 2, 1.5, 0.0])]))
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for _ in range(2):
+            tx.sendto(payload, ("127.0.0.1", port))
+            time.sleep(0.05)
+        th.join(3.0)
+        assert out.get("n") == 2
+
+    def test_recv_localization(self):
+        import socket
+        import threading
+        import time
+        from lsd_tpu.io.gpchc import format_gpchc
+        from lsd_tpu.tools.recv import recv_localization
+        port = 28982
+        out = {}
+        th = threading.Thread(
+            target=lambda: out.update(n=recv_localization(port, max_frames=1)))
+        th.start()
+        time.sleep(0.3)
+        line = format_gpchc(dict(heading=1.0, pitch=0, roll=0, gyro_x=0,
+                                 gyro_y=0, gyro_z=0, acc_x=0, acc_y=0,
+                                 acc_z=1, latitude=31.0, longitude=121.0,
+                                 altitude=4.0, Ve=0, Vn=0, Vu=0, baseline=0,
+                                 NSV1=9, NSV2=9, Status=4, age=0, Warnning=0,
+                                 timestamp=int(time.time() * 1e6)))
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto((line + "\r\n").encode(), ("127.0.0.1", port))
+        th.join(3.0)
+        assert out.get("n") == 1
