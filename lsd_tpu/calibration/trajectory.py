@@ -13,10 +13,9 @@ IMU orientation hand-eye):
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry import np_so3

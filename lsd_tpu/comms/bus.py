@@ -19,7 +19,7 @@ import socket
 import struct
 import threading
 import time
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 DEFAULT_BUS = "core"
 

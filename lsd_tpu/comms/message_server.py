@@ -12,7 +12,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from .bus import MessageBus, Subscriber
+from .bus import MessageBus
 from .messages import decode_typed, sniff_type
 
 

@@ -8,7 +8,7 @@ GroupNorm so inference needs no running stats plumbing.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ heatmap — static shapes, mask-carrying (ref: utils/object_post_process.py).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -8,8 +8,7 @@ CenterPoint) so the model family is trainable here, not just servable.
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

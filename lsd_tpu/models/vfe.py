@@ -8,7 +8,7 @@ pillars + dense 2D convolutions carry the FLOPs on the MXU instead.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

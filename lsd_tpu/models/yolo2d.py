@@ -9,7 +9,7 @@ MXU, static top-K decoding.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

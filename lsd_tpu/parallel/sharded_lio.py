@@ -16,7 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.hashmap import VoxelHashMap
 from ..slam.lio import LioConfig, _gate_degenerate, _measurement_system, _update_mask

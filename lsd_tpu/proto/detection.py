@@ -9,7 +9,7 @@ points as float32 bytes).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

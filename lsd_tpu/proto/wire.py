@@ -11,7 +11,7 @@ reference's .proto.
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 WT_VARINT, WT_64BIT, WT_LEN, WT_32BIT = 0, 1, 2, 5
 

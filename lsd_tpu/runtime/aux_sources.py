@@ -14,7 +14,6 @@ import threading
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 
-import numpy as np
 
 from ..io.gpchc import parse_gpchc
 from ..sensors.ins import InsMotionTracker

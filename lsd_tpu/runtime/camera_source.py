@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Dict, List, Optional
 
-import numpy as np
 
 try:
     import cv2

@@ -10,11 +10,10 @@ Re-derivations of:
 """
 from __future__ import annotations
 
-import queue
 import socket
 import threading
 import time
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

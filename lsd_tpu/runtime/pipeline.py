@@ -18,7 +18,7 @@ import enum
 import queue
 import threading
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from ..utils.log import get_logger
 from ..utils.period import PeriodCalculator

@@ -15,7 +15,6 @@ import socket
 from typing import Dict, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry import np_so3

@@ -9,7 +9,7 @@ tooling).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -87,7 +87,6 @@ def export_colmap(out_dir: str, keyframes: Sequence, K: np.ndarray,
                   map_points: Optional[np.ndarray] = None) -> str:
     """Write a COLMAP text model (cameras.txt / images.txt / points3D.txt)
     plus the keyframe images (ref colmap_utils.cpp)."""
-    import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
     img_dir = os.path.join(out_dir, "images")

@@ -53,9 +53,12 @@ class MapperConfig:
 
 
 class Mapper:
-    def __init__(self, cfg: MapperConfig = MapperConfig()):
+    def __init__(self, cfg: MapperConfig = MapperConfig(), nav0=None):
+        """nav0: optional initial NavState (e.g. from GNSS/INS or a known
+        map pose); default starts at the identity, which is the map frame
+        for GNSS-less mapping."""
         self.cfg = cfg
-        self.lio_state = lio_init(cfg.lio)
+        self.lio_state = lio_init(cfg.lio, nav0)
         self.updater = KeyframeUpdater(cfg.keyframe_delta_trans, cfg.keyframe_delta_angle)
         self.store = KeyframeStore()
         self.graph = PoseGraphBuilder()

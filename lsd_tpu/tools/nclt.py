@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

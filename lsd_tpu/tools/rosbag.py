@@ -21,7 +21,7 @@ from __future__ import annotations
 import bz2
 import os
 import struct
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

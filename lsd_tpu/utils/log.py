@@ -5,7 +5,6 @@ from __future__ import annotations
 import logging
 import os
 import sys
-import threading
 
 _FMT = "%(asctime)s %(levelname).1s [%(process)d:%(threadName)s] %(name)s: %(message)s"
 _configured = False
