@@ -30,11 +30,34 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_sha() -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for name in ("lsd_native.cpp", "ring_buffer.h"):
+        with open(os.path.join(_NATIVE_DIR, "src", name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _lib_sha() -> Optional[str]:
+    """Fingerprint baked into an existing .so, or None if unreadable."""
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.lsd_src_sha.restype = ctypes.c_char_p
+        return lib.lsd_src_sha().decode()
+    except (OSError, AttributeError):
+        return None
+
+
 def _build() -> None:
-    src = os.path.join(_NATIVE_DIR, "src", "lsd_native.cpp")
-    if (os.path.exists(_LIB_PATH)
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
+    # mtime alone is unreliable (git checkout stamps everything the same
+    # instant), so the library carries a source hash; rebuild on mismatch.
+    if _lib_sha() == _src_sha():
         return
+    if os.path.exists(_LIB_PATH):
+        os.unlink(_LIB_PATH)
     subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                    capture_output=True)
 

@@ -63,6 +63,14 @@ void recv_loop(Receiver* r) {
 
 extern "C" {
 
+// Source fingerprint injected by the Makefile; the Python loader compares
+// this against a hash of the checked-out sources and rebuilds on mismatch
+// (mtime comparison is unreliable after a git checkout).
+#ifndef LSD_SRC_SHA
+#define LSD_SRC_SHA "unversioned"
+#endif
+const char* lsd_src_sha(void) { return LSD_SRC_SHA; }
+
 // ---------------------------------------------------------------------------
 // UDP receiver lifecycle
 
