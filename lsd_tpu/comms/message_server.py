@@ -23,9 +23,17 @@ class MessageServer:
         self.channels: Dict[str, collections.deque] = {}
         self.types: Dict[str, str] = {}
         self._lock = threading.Lock()
+        self.enabled = True
         self.sub = self.bus.subscribe(self._on_msg)
 
+    def set_enabled(self, on: bool) -> None:
+        """Start/stop buffering (ref /v1/start-message-subscribe,
+        /v1/stop-message-subscribe)."""
+        self.enabled = bool(on)
+
     def _on_msg(self, channel: str, payload: bytes) -> None:
+        if not self.enabled:
+            return
         t = sniff_type(payload)
         if t is None:
             return

@@ -112,6 +112,7 @@ class SlamModule(Module):
     def setup(self, cfg) -> None:
         from ..slam import (Localizer, LocalizerConfig, LioConfig, Mapper,
                             MapperConfig)
+        register_interface("slam.restart_mapping", self._restart_mapping)
         if cfg.slam.mode == "mapping":
             kfi = cfg.slam.key_frames_interval
             self.engine = Mapper(MapperConfig(
@@ -119,30 +120,66 @@ class SlamModule(Module):
                               map_voxel=cfg.slam.resolution),
                 keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1]))
             register_interface("slam.save_map", self.engine.save)
-            # map-editor surface (ref module/slam/slam_server.py route set)
-            eng = self.engine
-            register_interface("slam.get_graph_meta", lambda: dict(
-                vertices=[dict(id=i, fix=bool(eng.graph.fixed[i]),
-                               pose=eng.graph.node_pose(i).tolist())
-                          for i in range(eng.graph.num_nodes)],
-                edges=[dict(id=k, prev=int(e[0]), next=int(e[1]))
-                       for k, e in enumerate(eng.graph.se3)],
-                loops=[list(l) for l in eng.loops]))
-            register_interface("slam.get_key_frame", lambda i: dict(
-                id=int(i), stamp_us=eng.store[int(i)].stamp_us,
-                pose=eng.store[int(i)].pose.tolist(),
-                points=eng.store[int(i)].cloud[:, :3].tolist()))
-            register_interface("slam.add_edge",
-                               lambda i, j, T: eng.graph.add_se3_edge(
-                                   int(i), int(j), np.asarray(T, float)))
-            register_interface("slam.del_edge", lambda e: eng.graph.del_se3_edge(int(e)))
-            register_interface("slam.set_vertex_fix",
-                               lambda i, fix: eng.graph.set_fixed(int(i), bool(fix)))
-            register_interface("slam.graph_optimize", eng.optimize_graph)
+            # map-editor surface mirroring the reference's full interface
+            # set (slam/slam.py:27-47 register_interface list + the
+            # slam_manager save/progress interfaces)
+            from ..slam.map_editor import MapEditor
+            ed = MapEditor(self.engine)
+            self.editor = ed
+            register_interface("slam.get_status", ed.get_status)
+            register_interface("slam.get_vertex_poses", ed.get_pose)
+            register_interface("slam.get_edge", ed.get_edge)
+            register_interface("slam.get_graph_meta", ed.get_graph_meta)
+            register_interface("slam.get_key_frame", ed.get_key_frame)
+            register_interface("slam.get_color_map", ed.get_color_map)
+            register_interface("slam.del_vertex", ed.del_vertex)
+            register_interface("slam.del_points", ed.del_points)
+            register_interface("slam.add_edge", ed.add_edge)
+            register_interface("slam.del_edge", ed.del_edge)
+            register_interface("slam.add_area", ed.add_area)
+            register_interface("slam.del_area", ed.del_area)
+            register_interface("slam.set_vertex_fix", ed.set_vertex_fix)
+            register_interface("slam.graph_optimize", ed.graph_optimize)
+            register_interface("slam.keyframe_align", ed.keyframe_align)
+            register_interface("slam.merge_map", ed.merge_map)
+            register_interface("slam.set_export_map_config",
+                               ed.set_export_map_config)
+            register_interface("slam.export_map", ed.export_map)
+            register_interface("slam.rotate_ground_constraint",
+                               ed.rotate_ground_constraint)
+            register_interface("slam.save_mapping", ed.start_save_mapping)
+            register_interface("slam.get_save_progress", ed.get_save_progress)
         else:
             self.engine = Localizer(cfg.slam.map_path, LocalizerConfig())
-            register_interface("slam.set_init_pose",
-                               lambda p: self.engine.set_init_pose(np.asarray(p)))
+            eng = self.engine
+            register_interface("slam.set_init_pose", self._set_init_pose)
+            register_interface("slam.get_estimate_pose",
+                               lambda pr: eng.get_estimate_pose(
+                                   float(pr[0][0]), float(pr[0][1]),
+                                   float(pr[1][0]), float(pr[1][1])))
+            register_interface("slam.get_status",
+                               lambda: dict(initialized=eng.initialized))
+
+    def _set_init_pose(self, p) -> None:
+        """Accepts a 4x4 pose or the reference's 6-element pose_range."""
+        arr = np.asarray(p, float)
+        if arr.size == 16:
+            self.engine.set_init_pose(arr.reshape(4, 4))
+        else:
+            self.engine.set_init_pose_range(arr.reshape(-1))
+
+    def _restart_mapping(self, payload=None) -> str:
+        """Re-initialize the SLAM engine, optionally from a new config
+        (ref slam_server.restart_mapping -> slam.restart_mapping)."""
+        cfg = self.cfg
+        if isinstance(payload, dict) and payload.get("config") is not None:
+            from .config import AttrDict
+            cfg = AttrDict(payload["config"])
+            self.cfg = cfg
+        self._last_ts = None
+        self.last_pose = np.eye(4)
+        self.setup(cfg)
+        return "ok"
 
     def process(self, d: Dict) -> Optional[Dict]:
         frame = frame_from_dict(d)
@@ -319,9 +356,12 @@ class HttpSinkModule(Module):
     def __init__(self, cfg):
         super().__init__("HttpSink", queue_size=2)
         self.latest: Optional[bytes] = None
+        self.latest_raw: Optional[bytes] = None
         self.last_request = 0.0
+        self.last_raw_request = 0.0
         self._lock = threading.Lock()
         register_interface("sink.get_proto_http", self.get_proto_http)
+        register_interface("sink.get_proto_http_raw", self.get_proto_http_raw)
 
     def process(self, d: Dict) -> Optional[Dict]:
         if time.monotonic() - self.last_request < 2.0:
@@ -331,12 +371,27 @@ class HttpSinkModule(Module):
                 fps=self.fps.fps), include_points=False)
             with self._lock:
                 self.latest = payload
+        if time.monotonic() - self.last_raw_request < 2.0:
+            from ..proto.internal import serialize_pointcloud_map
+            clouds = {str(k): np.asarray(v, np.float32).reshape(-1, 4)
+                      for k, v in (d.get("points") or {}).items()}
+            raw = serialize_pointcloud_map(clouds)
+            with self._lock:
+                self.latest_raw = raw
         return d
 
     def get_proto_http(self) -> Optional[bytes]:
         self.last_request = time.monotonic()
         with self._lock:
             return self.latest
+
+    def get_proto_http_raw(self) -> Optional[bytes]:
+        """Raw per-lidar pointcloud frame as internal.proto
+        LidarPointcloudMap (ref http_sink.get_proto_http_raw ->
+        /v1/lidar-pointcloud-map)."""
+        self.last_raw_request = time.monotonic()
+        with self._lock:
+            return self.latest_raw
 
 
 class SinkModule(Module):

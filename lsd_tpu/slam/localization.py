@@ -84,6 +84,48 @@ class Localizer:
         """Interactive pose hint (ref: slam_wrapper setInitPoseRange)."""
         self.init_hint = np.asarray(pose, float)
 
+    def set_init_pose_range(self, pose_range) -> None:
+        """Pose hint as [x, y, z, roll, pitch, yaw] (ref slam.py
+        set_init_pose: slam.set_init_pose(*pose_range[:6]))."""
+        v = [float(x) for x in np.asarray(pose_range, float).reshape(-1)[:6]]
+        T = np.eye(4)
+        T[:3, :3] = np_so3.rpy_to_matrix(v[3], v[4], v[5])
+        T[:3, 3] = v[:3]
+        self.init_hint = T
+        self.initialized = False   # force re-initialization from the hint
+
+    def get_estimate_pose(self, x0: float, y0: float,
+                          x1: float, y1: float) -> Optional[list]:
+        """Relocalize the most recent scan against keyframes inside the
+        given XY rectangle; returns a flattened 4x4 or None (ref slam.py
+        get_estimate_pose -> slam.get_estimate_pose(x0, y0, x1, y1))."""
+        if getattr(self, "_last_scan", None) is None:
+            return None
+        points, mask, image = self._last_scan
+        lo = np.minimum([x0, y0], [x1, y1])
+        hi = np.maximum([x0, y0], [x1, y1])
+        pos = self.store.positions()
+        in_rect = [i for i in range(len(pos))
+                   if np.all(pos[i, :2] >= lo) and np.all(pos[i, :2] <= hi)]
+        if not in_rect:
+            return None
+        hint, self.init_hint = self.init_hint, None
+        try:
+            # seed the generic relocalizer at the rectangle centre: the SC
+            # candidate search stays global but ICP verifies against the
+            # rect's neighborhood, rejecting out-of-area matches
+            best = None
+            for i in in_rect[:10]:
+                self.init_hint = self.store[i].pose
+                T = self._relocalize(points, mask, image=image)
+                if T is not None and np.all(T[:2, 3] >= lo - 20) \
+                        and np.all(T[:2, 3] <= hi + 20):
+                    best = T
+                    break
+        finally:
+            self.init_hint = hint
+        return None if best is None else np.asarray(best).flatten().tolist()
+
     def _build_local_map(self, center) -> None:
         ids = self.store.within_radius(center, self.cfg.local_map_radius)
         cloud = self.store.merged_cloud(ids, max_points=2 ** 17)
@@ -153,6 +195,7 @@ class Localizer:
         """Feed one padded scan (sensor frame). Returns dict(pose, status)."""
         points = np.asarray(points, np.float32)
         mask = np.asarray(mask, bool)
+        self._last_scan = (points, mask, image)
         if not self.initialized:
             T = self._relocalize(points, mask, image=image)
             if T is None:

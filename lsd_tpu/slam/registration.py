@@ -212,3 +212,43 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
     info = dict(score=-score / n_ok, matched_frac=n_ok / jnp.maximum(
         jnp.sum(mask.astype(jnp.float32)), 1.0), last_delta=stats[-1, 1])
     return q, t, info
+
+
+# --------------------------------------------------------------------------
+# host convenience: align one raw cloud onto another
+
+
+def align_clouds(source: "np.ndarray", target: "np.ndarray",
+                 T0: "np.ndarray", voxel_size: float = 0.5,
+                 iters: int = 15) -> "np.ndarray":
+    """Point-to-plane ICP between two raw (N, 3) numpy clouds with an
+    initial-guess 4x4; returns the refined 4x4 mapping source -> target
+    frame.  Host wrapper used by the map editor's keyframe_align (the
+    reference's slam.pointcloud_align, slam/src/slam_wrapper.cpp GICP
+    align surface)."""
+    import numpy as np
+    from ..geometry import np_so3
+    from ..ops import hashmap_create, hashmap_insert
+
+    def pad(pts):
+        cap = 1 << int(np.ceil(np.log2(max(len(pts), 2))))
+        buf = np.zeros((cap, 3), np.float32)
+        buf[:len(pts)] = pts[:, :3]
+        msk = np.zeros(cap, bool)
+        msk[:len(pts)] = True
+        return jnp.asarray(buf), jnp.asarray(msk)
+
+    TP, TM = pad(np.asarray(target, np.float32))
+    SP, SM = pad(np.asarray(source, np.float32))
+    cap = max(2 ** 14, 2 * int(TM.shape[0]))
+    m = hashmap_create(capacity=cap, points_per_voxel=8,
+                       voxel_size=voxel_size)
+    m = hashmap_insert(m, TP, TM)
+    T0 = np.asarray(T0, float).reshape(4, 4)
+    q0 = jnp.asarray(np_so3.matrix_to_quat(T0[:3, :3]), jnp.float32)
+    t0 = jnp.asarray(T0[:3, 3], jnp.float32)
+    q, t, _ = icp_point_to_plane(m, SP, SM, q0, t0, iters=iters)
+    T = np.eye(4)
+    T[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
+    T[:3, 3] = np.asarray(t)
+    return T

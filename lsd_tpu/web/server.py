@@ -25,6 +25,13 @@ from ..runtime.perception import Perception
 from ..utils.log import get_logger
 
 
+def _id_of(body):
+    """Editor payloads arrive either as {'id': n} or as a bare value."""
+    if isinstance(body, dict):
+        return body.get("id", 0)
+    return body
+
+
 class PerceptionServer:
     def __init__(self, perception: Perception):
         self.perception = perception
@@ -63,6 +70,250 @@ class PerceptionServer:
             ("POST", "/api"): self._jsonrpc,
         }
         self._message_server = None
+        # --- reference-exact route names (web_backend/perception_server.py,
+        # module/slam/slam_server.py, module/source/player_server.py,
+        # web_backend/{message,system}_server.py, calibration_server.py) ---
+        self.blacklist: set = set()
+        self.client_users: Dict[str, Dict] = {}
+        self._web_store: Dict = self._load_web_store()
+        r = self.routes
+        # user manager
+        r[("GET", "/v1/client-users")] = self._client_users
+        r[("POST", "/v1/add-blacklist")] = self._add_blacklist
+        r[("POST", "/v1/remove-blacklist")] = self._remove_blacklist
+        # roi
+        r[("GET", "/v1/roi")] = lambda q: p.get_config().get("roi", [])
+        r[("POST", "/v1/roi")] = self._set_roi
+        # raw preview
+        r[("GET", "/v1/lidar-pointcloud-map")] = \
+            lambda q: self._proto_bytes("sink.get_proto_http_raw")
+        # player server
+        r[("GET", "/v1/player-start")] = lambda q: self._do(p.start)
+        r[("GET", "/v1/player-pause")] = lambda q: self._do(p.pause)
+        r[("GET", "/v1/record-files")] = self._record_files
+        r[("POST", "/v1/play-record-file")] = self._play_record_file
+        # slam server
+        r[("GET", "/v1/restart-mapping")] = self._restart_mapping
+        r[("POST", "/v1/rotate-ground-constraint")] = \
+            lambda b: self._call_ok("slam.rotate_ground_constraint")
+        r[("POST", "/v1/save-map")] = self._save_map
+        r[("GET", "/v1/get-save-progress")] = \
+            lambda q: str(call_interface("slam.get_save_progress")
+                          if has_interface("slam.get_save_progress") else 0.0)
+        r[("GET", "/v1/map-vertex")] = \
+            lambda q: (call_interface("slam.get_vertex_poses")
+                       if has_interface("slam.get_vertex_poses") else {})
+        r[("GET", "/v1/map-status")] = \
+            lambda q: (call_interface("slam.get_status")
+                       if has_interface("slam.get_status") else {})
+        r[("POST", "/v1/get-color-map")] = self._get_color_map
+        r[("POST", "/v1/get-estimate-pose")] = \
+            lambda b: self._call_ok("slam.get_estimate_pose",
+                                    b.get("pose_range"))
+        r[("GET", "/v1/map-files")] = self._map_files
+        r[("POST", "/v1/open-map-file")] = self._open_map_file
+        r[("POST", "/v1/merge-map-file")] = \
+            lambda b: self._call_ok("slam.merge_map", b.get("map_file"))
+        r[("POST", "/v1/map-del-vertex")] = \
+            lambda b: self._call_ok("slam.del_vertex", _id_of(b))
+        r[("POST", "/v1/map-del-edge")] = \
+            lambda b: self._call_ok("slam.del_edge", _id_of(b))
+        r[("POST", "/v1/map-add-area")] = \
+            lambda b: self._call_ok("slam.add_area", b)
+        r[("POST", "/v1/map-del-area")] = \
+            lambda b: self._call_ok("slam.del_area", _id_of(b))
+        r[("POST", "/v1/map-set-vertex-fix")] = \
+            lambda b: self._call_ok("slam.set_vertex_fix", _id_of(b),
+                                    b.get("fix", True))
+        r[("GET", "/v1/map-optimize")] = \
+            lambda q: self._call_ok("slam.graph_optimize")
+        r[("POST", "/v1/set-export-map-config")] = \
+            lambda b: self._call_ok("slam.set_export_map_config",
+                                    b.get("z_min", -1e9), b.get("z_max", 1e9),
+                                    b.get("color", False))
+        r[("GET", "/v1/map-export-pcd")] = self._map_export_pcd
+        # vertex-data ships the reference's internal.proto bytes
+        r[("POST", "/v1/vertex-data")] = \
+            lambda b: self._proto_bytes("slam.get_key_frame",
+                                        _id_of(b), b.get("item", "p")
+                                        if isinstance(b, dict) else "p")
+        # message server (TViz)
+        r[("GET", "/v1/start-message-subscribe")] = \
+            lambda q: self._subscribe_messages(True)
+        r[("GET", "/v1/stop-message-subscribe")] = \
+            lambda q: self._subscribe_messages(False)
+        r[("GET", "/v1/get-message-meta")] = self._message_meta
+        r[("POST", "/v1/get-message-data")] = self._message_data
+        r[("POST", "/v1/publish-message")] = self._publish_message
+        # system server
+        r[("GET", "/v1/get-web-store")] = lambda q: self._web_store
+        # calibration server
+        r[("POST", "/v1/source-data")] = \
+            lambda b: self._proto_bytes("calibration.get_calibrate_camera",
+                                        p.get_config(),
+                                        b.get("do_distort", False))
+        r[("GET", "/v1/get-position-points")] = \
+            lambda q: self._proto_bytes("calibration.get_position_points")
+        r[("GET", "/v1/get-imu-position-points")] = \
+            lambda q: self._proto_bytes("calibration.get_imu_position_points",
+                                        p.get_config())
+        r[("GET", "/v1/get-panorama")] = \
+            lambda q: self._proto_bytes("calibration.get_panorama")
+        r[("GET", "/v1/set-panorama-config")] = self._set_panorama_config
+        from ..calibration.service import register_calibration_interfaces
+        register_calibration_interfaces()
+
+    # reference-route handlers -------------------------------------------
+    def _do(self, fn, *args):
+        fn(*args)
+        return ""
+
+    def _proto_bytes(self, name: str, *args) -> bytes:
+        if not has_interface(name):
+            return b""
+        out = call_interface(name, *args)
+        return out if isinstance(out, (bytes, bytearray)) else b""
+
+    def _client_users(self, q: Dict) -> Dict:
+        return {"users": self.client_users}
+
+    def _add_blacklist(self, body: Dict) -> str:
+        ip = body.get("ip", "")
+        if ip in self.client_users:
+            self.blacklist.add(ip)
+            self.client_users[ip]["disable"] = True
+        return "ok"
+
+    def _remove_blacklist(self, body: Dict) -> str:
+        ip = body.get("ip", "")
+        self.blacklist.discard(ip)
+        if ip in self.client_users:
+            self.client_users[ip]["disable"] = False
+        return "ok"
+
+    def _set_roi(self, body: Dict) -> str:
+        cfg = self.perception.get_config()
+        cfg["roi"] = [body]
+        self.perception.set_config(cfg)
+        return ""
+
+    def _record_root(self) -> str:
+        cfg = self.perception.get_config()
+        return ((cfg.get("system") or {}).get("record") or {}).get(
+            "path", "/tmp/lsd_tpu_records")
+
+    def _list_dirs(self, root: str):
+        import os
+        if not os.path.isdir(root):
+            return []
+        return sorted(os.path.join(root, d) for d in os.listdir(root)
+                      if os.path.isdir(os.path.join(root, d)))
+
+    def _record_files(self, q: Dict):
+        return self._list_dirs(self._record_root())
+
+    def _map_files(self, q: Dict):
+        import os
+        return self._list_dirs(os.path.join(self._record_root(), "map"))
+
+    def _play_record_file(self, body: Dict) -> str:
+        cfg = self.perception.get_config()
+        cfg.setdefault("input", {})["data_path"] = body.get("record_file", "")
+        self.perception.set_config(cfg)
+        return ""
+
+    def _restart_mapping(self, q: Dict) -> str:
+        p = self.perception
+        p.pause()
+        self._call_ok("slam.restart_mapping", dict(config=p.get_config()))
+        p.start()
+        return ""
+
+    def _save_map(self, body: Dict) -> Dict:
+        import os
+        root = body.get("root_path") or os.path.join(self._record_root(),
+                                                     "map")
+        return self._call_ok("slam.save_mapping", root, body.get("name"))
+
+    def _get_color_map(self, body: Dict) -> bytes:
+        """Reassemble the segmented color-map stream in one response (ref
+        slam_server.get_color_map polls segments of MAX_SEGMENT_LEN)."""
+        from ..slam.map_editor import MAX_SEGMENT_LEN
+        if not has_interface("slam.get_color_map"):
+            return b""
+        data = b""
+        while True:
+            segment = call_interface("slam.get_color_map")
+            data += segment
+            if len(segment) < MAX_SEGMENT_LEN:
+                return data
+
+    def _open_map_file(self, body: Dict) -> str:
+        cfg = self.perception.get_config()
+        cfg.setdefault("slam", {})["mode"] = "localization"
+        cfg["slam"].setdefault("localization", {})["map_path"] = \
+            body.get("map_file", "")
+        cfg["slam"]["map_path"] = body.get("map_file", "")
+        self._call_ok("slam.restart_mapping", dict(config=cfg))
+        return ""
+
+    def _map_export_pcd(self, q: Dict) -> bytes:
+        out = self._call_ok("slam.export_map")
+        path = out.get("result") if isinstance(out, dict) else None
+        if not path:
+            return b""
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _subscribe_messages(self, enable: bool) -> str:
+        srv = self._ensure_message_server()
+        if hasattr(srv, "set_enabled"):
+            srv.set_enabled(enable)
+        return "ok"
+
+    def _publish_message(self, body: Dict) -> str:
+        from ..comms import MessageBus
+        payload = body.get("data", {})
+        raw = json.dumps(payload).encode() if not isinstance(
+            payload, (bytes, bytearray)) else bytes(payload)
+        MessageBus.core().publish(body.get("channel", ""), raw)
+        return "ok"
+
+    def _set_web_store(self, store: Dict) -> Dict:
+        self._web_store = store
+        self._dump_web_store()
+        return self._web_store
+
+    def _web_store_path(self) -> str:
+        import os
+        return os.environ.get("LSD_TPU_WEB_STORE",
+                              "/tmp/lsd_tpu_web_store.json")
+
+    def _load_web_store(self) -> Dict:
+        import os
+        path = self._web_store_path()
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except (ValueError, OSError):
+                pass
+        return {}
+
+    def _dump_web_store(self) -> None:
+        try:
+            with open(self._web_store_path(), "w") as f:
+                json.dump(self._web_store, f)
+        except OSError:
+            pass
+
+    def _set_panorama_config(self, q: Dict):
+        if not has_interface("calibration.set_panorama_config"):
+            return {}
+        result, cfg = call_interface("calibration.set_panorama_config",
+                                     self.perception.get_config())
+        self.perception.set_config(cfg)
+        return result
 
     # TViz backend ------------------------------------------------------
     def _ensure_message_server(self):
@@ -160,25 +411,109 @@ class PerceptionServer:
     def _jsonrpc(self, body: Dict) -> Dict:
         method = body.get("method", "")
         params = body.get("params", [])
-        mapping = {
+        args, kwargs = ((params, {}) if isinstance(params, (list, tuple))
+                        else ([], dict(params)))
+        try:
+            out = self._jsonrpc_call(method, args, kwargs)
+        except KeyError:
+            return {"id": body.get("id"), "error": f"unknown method {method}"}
+        return {"id": body.get("id"), "result": out}
+
+    def _cfg_call(self, name: str, *args, **kwargs):
+        """Reference pattern for calibration RPCs: the interface returns
+        (result, config) and the server commits the new config
+        (calibration_server.py:75-138)."""
+        result, cfg = call_interface(name, self.perception.get_config(),
+                                     *args, **kwargs)
+        self.perception.set_config(cfg)
+        return result
+
+    def _jsonrpc_call(self, method: str, args, kwargs):
+        p = self.perception
+        simple = {
             "reboot": lambda: {"status": "unsupported-in-dev"},
             "start_record": lambda: self._call_ok("record.start"),
             "stop_record": lambda: self._call_ok("record.stop"),
             "start_player": lambda: self._call_ok("player.resume"),
             "pause_player": lambda: self._call_ok("player.pause"),
-            "dump": lambda: {"stacks": self.perception.dump()},
+            "dump": lambda: {"stacks": p.dump()},
+            "set_web_store": lambda store: self._set_web_store(store),
+            # slam editor RPCs (ref slam_server.py add_method set)
+            "get_map_edge": lambda: (call_interface("slam.get_edge")
+                                     if has_interface("slam.get_edge") else []),
+            "get_map_meta": lambda: (call_interface("slam.get_graph_meta")
+                                     if has_interface("slam.get_graph_meta")
+                                     else {}),
+            "map_keyframe_align": lambda source, target, guess:
+                call_interface("slam.keyframe_align", source, target, guess),
+            "map_add_edge": lambda prev, next, relative:
+                call_interface("slam.add_edge", prev, next, relative),
+            "map-del-points": lambda index:
+                call_interface("slam.del_points", index),
+            # calibration RPCs without config round-trip
+            "get_projection_forward": lambda *a: call_interface(
+                "calibration.get_projection_forward", *a),
+            "get_projection_backward": lambda *a: call_interface(
+                "calibration.get_projection_backward", *a),
+            "get_transform": lambda extrinsic_parameters: call_interface(
+                "calibration.get_transform", extrinsic_parameters),
+            "get_vector_from_transform": lambda transform: call_interface(
+                "calibration.get_vector_from_transform", transform),
+            "find_corners": lambda imageData, cameraName, config:
+                call_interface("calibration.find_corners", imageData,
+                               cameraName, config),
+            "restart_lidar_ins_calibration": lambda: call_interface(
+                "calibration.restart_lidar_ins_calibration", p.get_config()),
+            "calibrate_lidar_ins": lambda: call_interface(
+                "calibration.calibrate_lidar_ins"),
+            "get_lidar_ins_calibration": lambda: call_interface(
+                "calibration.get_lidar_ins_calibration"),
+            "get_lidar_ins_transform": lambda: call_interface(
+                "calibration.get_lidar_ins_transform"),
+            "restart_lidar_imu_calibration": lambda: call_interface(
+                "calibration.restart_lidar_imu_calibration", p.get_config()),
+            "calibrate_lidar_imu": lambda: call_interface(
+                "calibration.calibrate_lidar_imu"),
+            "lidar_imu_get_lidar_poses": lambda: call_interface(
+                "calibration.lidar_imu_get_lidar_poses"),
+            "lidar_imu_get_imu_poses": lambda: call_interface(
+                "calibration.lidar_imu_get_imu_poses"),
+            "get_homography": lambda *a, **k: call_interface(
+                "calibration.get_homography", *a, **k),
+            # calibration RPCs that rewrite the config
+            "finetune_lidar": lambda lidarIndex, transform: self._cfg_call(
+                "calibration.finetune_lidar", lidarIndex, transform),
+            "calibrate_ground": lambda points, contour, key: self._cfg_call(
+                "calibration.calibrate_ground", points, contour, key),
+            "calibrate_heading": lambda source, target, key: self._cfg_call(
+                "calibration.calibrate_heading", source, target, key),
+            "finetune_camera": lambda cameraName, transform: self._cfg_call(
+                "calibration.finetune_camera", cameraName, transform),
+            "calibrate_lidar_camera": lambda pointsLidar, pointsCamera,
+                cameraName: self._cfg_call("calibration.calibrate_lidar_camera",
+                                           pointsLidar, pointsCamera,
+                                           cameraName),
+            "calibrate_camera": lambda pointsCamera, cameraName, config:
+                self._cfg_call("calibration.calibrate_camera", pointsCamera,
+                               cameraName, config),
+            "set_lidar_ins_transform": lambda transform: self._cfg_call(
+                "calibration.set_lidar_ins_transform", transform),
+            "set_lidar_imu_extrinsics": lambda: self._do(
+                p.set_config,
+                call_interface("calibration.set_lidar_imu_extrinsics",
+                               p.get_config())),
         }
-        if method in mapping:
-            return {"id": body.get("id"), "result": mapping[method]()}
+        if method in simple:
+            return simple[method](*args, **kwargs)
         if has_interface(method):
-            return {"id": body.get("id"),
-                    "result": call_interface(method, *params)}
-        return {"id": body.get("id"), "error": f"unknown method {method}"}
+            return call_interface(method, *args, **kwargs)
+        raise KeyError(method)
 
     # server ------------------------------------------------------------
     def start(self, host: str = "0.0.0.0", port: int = 1234) -> int:
         routes = self.routes
         logger = self.logger
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):  # quiet
@@ -186,6 +521,16 @@ class PerceptionServer:
 
             def _dispatch(self, method: str) -> None:
                 path = self.path.split("?")[0]
+                # user tracking + blacklist middleware
+                # (ref web_backend/server.py:54-70 before_request)
+                ip = self.client_address[0]
+                user = server.client_users.setdefault(
+                    ip, {"disable": False, "requests": 0})
+                user["requests"] += 1
+                if ip in server.blacklist:
+                    self.send_response(403)
+                    self.end_headers()
+                    return
                 fn = routes.get((method, path))
                 if fn is None:
                     if method == "GET" and self._serve_static(path):

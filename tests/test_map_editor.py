@@ -1,7 +1,10 @@
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from lsd_tpu.proto.internal import parse_pointcloud_map
 from lsd_tpu.runtime import clear_interfaces
 from lsd_tpu.runtime.config import ConfigManager
 from lsd_tpu.runtime.interface import call_interface
@@ -41,24 +44,152 @@ class TestMapEditor:
     def test_graph_meta_and_crud(self, slam_module):
         feed_scans(slam_module)
         meta = call_interface("slam.get_graph_meta")
-        n = len(meta["vertices"])
+        n = len(meta["vertex"])
         assert n >= 5
-        assert len(meta["edges"]) >= n - 1
-        assert meta["vertices"][0]["fix"] is True
+        assert len(meta["edge"]) >= n - 1
+        assert meta["vertex"]["0"]["fix"] is True
 
-        kf = call_interface("slam.get_key_frame", 1)
-        assert kf["id"] == 1 and len(kf["points"]) > 100
+        # keyframe payload is internal.proto LidarPointcloudMap bytes
+        kf = call_interface("slam.get_key_frame", 1, "p")
+        msg = parse_pointcloud_map(kf)
+        assert msg["lp"][0]["lidar_name"] == "1"
+        pts = np.frombuffer(msg["lp"][0]["points"], np.float32).reshape(-1, 4)
+        assert len(pts) > 100
 
         # manual loop closure edge + optimize (editor flow)
-        T_rel = np.linalg.inv(np.asarray(meta["vertices"][0]["pose"])) @ \
-            np.asarray(meta["vertices"][n - 1]["pose"])
-        call_interface("slam.add_edge", 0, n - 1, T_rel)
+        T0 = np.asarray(meta["vertex"]["0"]["pose"]).reshape(4, 4)
+        Tn = np.asarray(meta["vertex"][str(n - 1)]["pose"]).reshape(4, 4)
+        call_interface("slam.add_edge", 0, n - 1, np.linalg.inv(T0) @ Tn)
         meta2 = call_interface("slam.get_graph_meta")
-        assert len(meta2["edges"]) == len(meta["edges"]) + 1
+        assert len(meta2["edge"]) == len(meta["edge"]) + 1
         call_interface("slam.graph_optimize")
 
         call_interface("slam.set_vertex_fix", 1, True)
-        assert call_interface("slam.get_graph_meta")["vertices"][1]["fix"]
+        assert call_interface("slam.get_graph_meta")["vertex"]["1"]["fix"]
 
-        call_interface("slam.del_edge", len(meta2["edges"]) - 1)
-        assert len(call_interface("slam.get_graph_meta")["edges"]) == len(meta["edges"])
+        call_interface("slam.del_edge", len(meta2["edge"]) - 1)
+        assert len(call_interface("slam.get_graph_meta")["edge"]) == \
+            len(meta["edge"])
+
+    def test_vertex_point_area_ops(self, slam_module):
+        feed_scans(slam_module)
+        m = slam_module.engine
+        meta = call_interface("slam.get_graph_meta")
+        n0, e0 = len(meta["vertex"]), len(meta["edge"])
+
+        # delete a mid-chain vertex: count drops, chain stays connected
+        call_interface("slam.del_vertex", 2)
+        meta = call_interface("slam.get_graph_meta")
+        assert len(meta["vertex"]) == n0 - 1
+        pairs = {(e["prev"], e["next"]) for e in meta["edge"]}
+        assert (1, 2) in pairs  # bridged across the removed node
+        assert all(e["prev"] < len(meta["vertex"]) and
+                   e["next"] < len(meta["vertex"]) for e in meta["edge"])
+        call_interface("slam.graph_optimize")   # still solvable
+
+        # per-keyframe point deletion
+        before = len(m.store[1].cloud)
+        call_interface("slam.del_points", {"1": [0, 1, 2]})
+        assert len(m.store[1].cloud) == before - 3
+
+        # areas
+        aid = call_interface("slam.add_area", dict(
+            name="keepout", type="exclude",
+            polygon=[[-100, -100, 0], [100, -100, 0],
+                     [100, 100, 0], [-100, 100, 0]]))
+        area = slam_module.editor.is_in_area(np.eye(4))
+        assert area is not None and area["name"] == "keepout"
+        call_interface("slam.del_area", aid)
+        assert slam_module.editor.is_in_area(np.eye(4)) is None
+        _ = e0
+
+    def test_status_edges_color_map(self, slam_module):
+        feed_scans(slam_module)
+        st = call_interface("slam.get_status")
+        assert st["num_keyframes"] >= 5 and st["travel_distance"] > 1.0
+        edges = call_interface("slam.get_edge")
+        assert edges and {"id", "prev", "next"} <= set(edges[0])
+        poses = call_interface("slam.get_vertex_poses")
+        assert len(poses) == st["num_keyframes"]
+        assert len(poses["0"]) == 16
+
+        blob = call_interface("slam.get_color_map")
+        msg = parse_pointcloud_map(blob)
+        assert msg["lp"][0]["lidar_name"] == "color_map"
+        pts = np.frombuffer(msg["lp"][0]["points"], np.float32).reshape(-1, 3)
+        assert len(pts) > 1000
+        # the stream was fully consumed in one segment; the next request
+        # starts a fresh build (reference polls until a short segment)
+        blob2 = call_interface("slam.get_color_map")
+        assert blob2 == blob
+
+    def test_keyframe_align(self, slam_module):
+        feed_scans(slam_module)
+        m = slam_module.engine
+        T1, T2 = m.store[1].pose, m.store[2].pose
+        guess = np.linalg.inv(T2) @ T1   # maps kf1 points into kf2 frame
+        T = np.asarray(call_interface(
+            "slam.keyframe_align", 1, 2, guess.flatten().tolist())).reshape(4, 4)
+        # refined alignment should stay near the odometry-derived guess
+        d = np.linalg.inv(guess) @ T
+        assert np.linalg.norm(d[:3, 3]) < 1.0
+
+    def test_save_progress_and_export(self, slam_module, tmp_path):
+        feed_scans(slam_module)
+        out = call_interface("slam.save_mapping", str(tmp_path), "session1")
+        assert out == "ok"
+        slam_module.editor._save_thread.join(timeout=30)
+        n = len(slam_module.engine.store)
+        # reference formula: idx / (total + 1) * 100 (map_manager.py:232)
+        assert call_interface("slam.get_save_progress") == \
+            pytest.approx(n / (n + 1) * 100.0)
+        map_dir = tmp_path / "session1"
+        assert (map_dir / "graph" / "graph.g2o").exists()
+        assert (map_dir / "graph" / "000000" / "cloud.pcd").exists()
+
+        # reload through the standard loader
+        from lsd_tpu.slam.map_io import load_map
+        data = load_map(str(map_dir))
+        assert len(data["stamps"]) == len(slam_module.engine.store)
+
+        # pcd export with GNSS anchor header
+        call_interface("slam.set_export_map_config", -100.0, 100.0, False)
+        path = call_interface("slam.export_map",
+                              str(tmp_path / "export_map.pcd"))
+        head = open(path, "rb").read(80)
+        assert head.startswith(b"# This PCD file is generated by LSD")
+        assert b"GNSS Anchor" in head
+
+    def test_ground_constraint_toggle(self, slam_module):
+        st0 = call_interface("slam.get_status")["ground_constraint"]
+        out = call_interface("slam.rotate_ground_constraint")
+        assert out in ("enable", "disable")
+        assert call_interface("slam.get_status")["ground_constraint"] != st0
+
+    def test_restart_mapping(self, slam_module):
+        feed_scans(slam_module, n=10)
+        assert len(slam_module.engine.store) >= 2
+        assert call_interface("slam.restart_mapping") == "ok"
+        assert len(slam_module.engine.store) == 0
+
+    def test_merge_map(self, slam_module, tmp_path):
+        feed_scans(slam_module)
+        # save the session, restart, then merge the saved map back in
+        call_interface("slam.save_mapping", str(tmp_path), "base")
+        slam_module.editor._save_thread.join(timeout=30)
+        n = len(slam_module.engine.store)
+        call_interface("slam.merge_map", str(tmp_path / "base"))
+        assert len(slam_module.engine.store) == 2 * n
+        meta = call_interface("slam.get_graph_meta")
+        assert len(meta["vertex"]) == 2 * n
+
+
+def test_point_in_polygon():
+    from lsd_tpu.slam.map_editor import point_in_polygon
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    assert point_in_polygon(5, 5, sq)
+    assert not point_in_polygon(15, 5, sq)
+    assert not point_in_polygon(-1, -1, sq)
+    tri = [[0, 0], [4, 0], [2, 3]]
+    assert point_in_polygon(2, 1, tri)
+    assert not point_in_polygon(0.1, 2.9, tri)
