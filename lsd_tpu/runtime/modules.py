@@ -44,11 +44,34 @@ class PlayerSource(Module):
         register_interface("player.pause", self.pause)
         register_interface("player.resume", self.resume)
         register_interface("player.step", self.step)
+        register_interface("player.get_status", self.get_status)
+
+    def get_status(self) -> Dict:
+        """Transport status (ref player_data_manager.get_status:138-146:
+        mm:ss elapsed/left + percent)."""
+        if self.player is None or len(self.player) == 0:
+            return dict(now_time="00:00", left_time="00:00", percent=0.0,
+                        playing=self.playing, rate=self.rate)
+        n = len(self.player)
+        idx = min(self.idx, n - 1)
+        t0, t1 = self._span if getattr(self, "_span", None) else (0.0, 0.0)
+        tc = t0 + (t1 - t0) * idx / max(n - 1, 1)
+        fmt = lambda s: "{0:02d}:{1:02d}".format(int(max(s, 0) / 60),
+                                                 int(max(s, 0) % 60))
+        return dict(now_time=fmt(tc - t0), left_time=fmt(t1 - tc),
+                    percent=idx / n * 100.0, playing=self.playing,
+                    rate=self.rate)
 
     def setup(self, cfg) -> None:
         path = cfg.input.data_path
         self.player = FramePlayer(path)
-        self.logger.info("player: %d frames from %s", len(self.player), path)
+        n = len(self.player)
+        self._span = None
+        if n:
+            self._span = (
+                self.player.read_dict(0)["frame_timestamp_monotonic"] / 1e6,
+                self.player.read_dict(n - 1)["frame_timestamp_monotonic"] / 1e6)
+        self.logger.info("player: %d frames from %s", n, path)
 
     # control surface ---------------------------------------------------
     def seek(self, percent: float) -> None:
@@ -328,6 +351,65 @@ class FrameSinkModule(Module):
         return d
 
 
+class EvalDumpSink(Module):
+    """SLAM-vs-RTK pose pair dump for accuracy evaluation.
+
+    Re-derivation of the reference's (disabled-by-default) DumpSink
+    (module/sink/dump_sink.py): per frame with a valid SLAM pose and a
+    valid INS fix, append one row
+        ts slam_x slam_y slam_z rtk_x rtk_y rtk_z rtk_heading_deg
+    with RTK projected into a metric frame anchored at the first fix —
+    the raw material for the docs/slam.md localization-error table."""
+
+    def __init__(self, cfg, out_path: str = "output/dump_data.txt"):
+        super().__init__("EvalDump")
+        self.out_path = out_path
+        self.enabled = bool(getattr(getattr(cfg, "output", {}), "eval_dump",
+                                    False))
+        self._f = None
+        self._proj = None
+        register_interface("evaldump.start", self.start_dump)
+        register_interface("evaldump.stop", self.stop_dump)
+
+    def start_dump(self) -> None:
+        self.enabled = True
+
+    def stop_dump(self) -> None:
+        self.enabled = False
+        if self._f:
+            self._f.close()
+            self._f = None
+
+    def process(self, d: Dict) -> Optional[Dict]:
+        if not self.enabled:
+            return d
+        ins = d.get("ins_data") or {}
+        pose = d.get("slam_pose")
+        if pose is None or not ins or not ins.get("latitude"):
+            return d
+        if int(ins.get("Status", 0)) == 0:
+            return d
+        from ..geometry.utm import UTMProjector
+        if self._proj is None:
+            self._proj = UTMProjector()
+        x, y = self._proj.project(float(ins["latitude"]),
+                                  float(ins["longitude"]))
+        if self._f is None:
+            import os
+            os.makedirs(os.path.dirname(self.out_path) or ".", exist_ok=True)
+            self._f = open(self.out_path, "a", buffering=1)
+        T = np.asarray(pose, float).reshape(4, 4)
+        self._f.write("%d %.4f %.4f %.4f %.4f %.4f %.4f %.3f\n" % (
+            int(d.get("frame_start_timestamp", 0)),
+            T[0, 3], T[1, 3], T[2, 3],
+            x, y, float(ins.get("altitude", 0.0)),
+            float(ins.get("heading", 0.0))))
+        return d
+
+    def release(self) -> None:
+        self.stop_dump()
+
+
 class UdpSinkModule(Module):
     """Protobuf Detection over UDP (ref module/sink/udp_sink.py)."""
 
@@ -401,7 +483,8 @@ class SinkModule(Module):
     def __init__(self, cfg):
         super().__init__("Sink")
         self.sinks: List[Module] = [FrameSinkModule(cfg), UdpSinkModule(cfg),
-                                    HttpSinkModule(cfg), DataBank()]
+                                    HttpSinkModule(cfg), EvalDumpSink(cfg),
+                                    DataBank()]
 
     def setup(self, cfg) -> None:
         for s in self.sinks:

@@ -46,7 +46,9 @@ class PerceptionServer:
             ("POST", "/v1/status"): lambda body: p.get_status(),
             ("GET", "/v1/status"): lambda q: p.get_status(),
             ("POST", "/v1/detection-pb"): self._detection_pb,
-            ("GET", "/v1/player-status"): lambda q: {"playing": True},
+            ("GET", "/v1/player-status"): lambda q: (
+                call_interface("player.get_status")
+                if has_interface("player.get_status") else {"playing": False}),
             ("POST", "/v1/player-seek"): lambda b: self._call_ok("player.seek", b.get("percent", 0)),
             ("POST", "/v1/player-rate"): lambda b: self._call_ok("player.set_rate", b.get("rate", 1.0)),
             ("POST", "/v1/player-play"): lambda b: self._call_ok("player.resume"),

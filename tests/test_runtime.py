@@ -214,3 +214,52 @@ class TestFanOutPipeline:
         mm.stop()
         assert banks["SinkA"].get_latest() is not None
         assert banks["SinkB"].get_latest() is not None
+
+
+def test_eval_dump_sink(tmp_path):
+    import numpy as np
+    from lsd_tpu.runtime import clear_interfaces
+    from lsd_tpu.runtime.config import ConfigManager
+    from lsd_tpu.runtime.modules import EvalDumpSink
+    clear_interfaces()
+    cfg = ConfigManager().config
+    sink = EvalDumpSink(cfg, out_path=str(tmp_path / "dump.txt"))
+    sink.start_dump()
+    T = np.eye(4); T[0, 3] = 1.5
+    for k in range(3):
+        sink.process(dict(frame_start_timestamp=1000 + k,
+                          slam_pose=T,
+                          ins_data=dict(latitude=37.0 + k * 1e-5,
+                                        longitude=-122.0, altitude=5.0,
+                                        heading=90.0, Status=1)))
+    sink.release()
+    rows = open(tmp_path / "dump.txt").read().strip().splitlines()
+    assert len(rows) == 3
+    vals = [float(v) for v in rows[1].split()]
+    assert vals[1] == 1.5          # slam x
+    assert abs(vals[5]) > 0.5      # rtk northing moved ~1.1 m per 1e-5 deg
+    clear_interfaces()
+
+
+def test_player_status_interface(tmp_path):
+    from lsd_tpu.io.recorder import FrameRecorder
+    from lsd_tpu.runtime import clear_interfaces
+    from lsd_tpu.runtime.config import ConfigManager
+    from lsd_tpu.runtime.interface import call_interface
+    from lsd_tpu.runtime.modules import PlayerSource
+    from tests.test_io import make_frame_dict
+    clear_interfaces()
+    rec = FrameRecorder(str(tmp_path / "rec"))
+    for k in range(10):
+        rec.write(make_frame_dict(ts=1_000_000 + k * 1_000_000))
+    cfg = ConfigManager().config
+    cfg["input"]["data_path"] = rec.log_dir
+    src = PlayerSource(cfg)
+    src.setup(cfg)
+    st = call_interface("player.get_status")
+    assert st["percent"] == 0.0 and st["now_time"] == "00:00"
+    assert st["left_time"] == "00:09"
+    src.seek(50.0)
+    st = call_interface("player.get_status")
+    assert 40.0 <= st["percent"] <= 60.0
+    clear_interfaces()
