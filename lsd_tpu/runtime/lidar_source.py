@@ -40,9 +40,51 @@ class LidarUnit:
                             if exclude_box is not None else None)
         self.max_points = max_points
         self._chunks: List[np.ndarray] = []
+        # RoboSense mechanical units stream per-unit factory angle
+        # calibration as DIFOP packets on the data port + 1; once one
+        # validates, rebind the decoder with the exact tables
+        # (ref rs_decode_difop.cpp ReceiveDifop/Decode)
+        self._difop_rx = None
+        self.difop_loaded = False
+        n_lasers = {"RS-32": 32, "RS-Ruby-Lite": 128,
+                    "RS-Helios": 32, "RS-Helios-16P": 16}.get(decoder)
+        if n_lasers is not None:
+            self._difop_n = n_lasers
+            try:
+                from ..io.rs_difop import HELIOS_DIFOP_LEN
+                self._difop_rx = native.UdpReceiver(
+                    port + 1, max_packet=HELIOS_DIFOP_LEN + 64)
+            except OSError:
+                self._difop_rx = None
+
+    def _poll_difop(self) -> None:
+        from ..io.rs_difop import parse_rs_difop
+        pk, lens = self._difop_rx.pop(8)
+        for buf, ln in zip(pk, lens):
+            info = parse_rs_difop(bytes(buf[:ln]), n_lasers=self._difop_n)
+            if info is None:
+                continue
+            vert, horiz = info["vert_cd"], info["horiz_cd"]
+            nat, name = self.native, self.decoder_name
+            if name == "RS-32":
+                self.decode = lambda p, l: (nat.decode_rs32(
+                    p, l, vert_cd=vert, horiz_cd=horiz), 0)
+            elif name == "RS-Ruby-Lite":
+                self.decode = lambda p, l: (nat.decode_rs_ruby(
+                    p, l, vert_cd=vert, horiz_cd=horiz), 0)
+            else:   # RS-Helios / RS-Helios-16P
+                self.decode = lambda p, l: (nat.decode_rs_helios(
+                    p, l, n_lasers=self._difop_n,
+                    vert_cd=vert, horiz_cd=horiz), 0)
+            self.difop_loaded = True
+            self._difop_rx.close()
+            self._difop_rx = None
+            return
 
     def poll(self) -> None:
         """Drain pending packets into the current scan accumulation."""
+        if self._difop_rx is not None:
+            self._poll_difop()
         while True:
             pk, lens = self.rx.pop(256)
             if not len(lens):
@@ -63,6 +105,9 @@ class LidarUnit:
 
     def close(self) -> None:
         self.rx.close()
+        if self._difop_rx is not None:
+            self._difop_rx.close()
+            self._difop_rx = None
 
 
 class LidarSource(Module):
