@@ -88,3 +88,59 @@ def match_detections(map_lights: List[Dict], boxes: np.ndarray,
         out.append(dict(id=li, color=color, pictogram=pict,
                         confidence=float(scores[best]), name=ml["name"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# HD-map loading (OpenDRIVE .xodr signals + GNSS anchor sidecar)
+
+
+def parse_xodr_signals(file_path: str,
+                       name_pattern: str = r"Signal_.Light") -> List[MapLight]:
+    """Extract trafficlight signals from an OpenDRIVE map.
+
+    Re-derivation of the reference's map loader (sensor_inference/utils/
+    parse_map.py:7-39): every <road><signals><signal> whose name matches
+    the pattern contributes its <positionInertial> as a world-frame light;
+    name/width/height/orientation userData entries are carried in `attrs`.
+    """
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    lights: List[MapLight] = []
+    if not os.path.exists(file_path):
+        return lights
+    root = ET.parse(file_path).getroot()
+    for road in root.findall("road"):
+        for signals in road.findall("signals"):
+            for signal in signals.findall("signal"):
+                if not re.match(name_pattern, signal.attrib.get("name", "")):
+                    continue
+                pos_el = signal.find("positionInertial")
+                if pos_el is None:
+                    continue
+                pos = np.asarray([float(pos_el.attrib.get(k, 0.0))
+                                  for k in ("x", "y", "z")])
+                name = signal.attrib.get("id", "")
+                attrs: Dict[str, str] = {}
+                for user in signal.findall("userData"):
+                    code = user.attrib.get("code", "")
+                    attrs[code] = user.attrib.get("value", "")
+                    if code == "name":
+                        name = attrs[code]
+                light = MapLight(name=name, position=pos)
+                light.attrs = attrs          # optional metadata
+                lights.append(light)
+    return lights
+
+
+def parse_map_anchor(file_path: str) -> Optional[Dict[str, float]]:
+    """GNSS anchor sidecar: 'lat lon alt yaw pitch roll' on one line
+    (ref parse_map.py parse_anchor:41-55)."""
+    import os
+    if not os.path.exists(file_path):
+        return None
+    with open(file_path) as f:
+        vals = f.readline().split()
+    keys = ("lat", "lon", "alt", "yaw", "pitch", "roll")
+    return {k: float(v) for k, v in zip(keys, vals)}

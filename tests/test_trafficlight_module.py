@@ -55,3 +55,36 @@ class TestTrafficlightModule:
         boxes, scores, labels, keep = fn(img)
         assert boxes.shape[1] == 4
         assert np.all(np.isfinite(boxes))
+
+
+def test_parse_xodr_signals(tmp_path):
+    from lsd_tpu.detection.trafficlight import (parse_map_anchor,
+                                                parse_xodr_signals)
+    xodr = tmp_path / "map.xodr"
+    xodr.write_text("""<?xml version="1.0"?>
+<OpenDRIVE>
+ <road id="1">
+  <signals>
+   <signal id="s1" name="Signal_3Light">
+    <positionInertial x="10.5" y="-3.0" z="5.2"/>
+    <userData code="name" value="north_light"/>
+    <userData code="width" value="0.3"/>
+   </signal>
+   <signal id="s2" name="SpeedLimit"> <!-- not a light -->
+    <positionInertial x="0" y="0" z="0"/>
+   </signal>
+  </signals>
+ </road>
+</OpenDRIVE>""")
+    lights = parse_xodr_signals(str(xodr))
+    assert len(lights) == 1
+    assert lights[0].name == "north_light"
+    assert lights[0].position.tolist() == [10.5, -3.0, 5.2]
+    assert lights[0].attrs["width"] == "0.3"
+
+    anchor = tmp_path / "anchor.txt"
+    anchor.write_text("37.1 -122.2 15.0 90.0 0.0 0.0\n")
+    a = parse_map_anchor(str(anchor))
+    assert a["lat"] == 37.1 and a["yaw"] == 90.0
+    assert parse_map_anchor(str(tmp_path / "missing")) is None
+    assert parse_xodr_signals(str(tmp_path / "missing.xodr")) == []
