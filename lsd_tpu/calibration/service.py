@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import base64
 import threading
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-from ..geometry import so3
 from ..geometry import np_so3
 
 

@@ -15,7 +15,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..utils.log import get_logger
 from .pipeline import Module
 
 

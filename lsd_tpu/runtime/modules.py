@@ -21,7 +21,6 @@ from ..io.frame import frame_from_dict
 from ..io.player import FramePlayer
 from ..io.recorder import FrameRecorder
 from ..proto.detection import serialize_detection
-from ..utils.log import get_logger
 from .interface import register_interface
 from .pipeline import DataBank, Module
 

@@ -12,7 +12,7 @@ from ..utils.log import get_logger, set_logger_level
 from .config import CheckResult, ConfigManager
 from .interface import call_interface, register_interface
 from .modules import (DetectModule, PlayerSource, SinkModule, SlamModule)
-from .pipeline import Merge, ModuleManager, PipelineStatus, Split
+from .pipeline import ModuleManager, PipelineStatus, Split
 
 DEFAULT_REGISTRY = {
     "Source": PlayerSource,

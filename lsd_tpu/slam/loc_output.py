@@ -16,7 +16,6 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..geometry import so3
 from ..geometry import np_so3
 from ..geometry.utm import UTMProjector
 from ..io.gpchc import format_gpchc

@@ -14,12 +14,12 @@ from __future__ import annotations
 import datetime
 import os
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..proto.internal import serialize_keyframe, serialize_pointcloud_map
-from .map_io import load_map, save_map
+from .map_io import load_map
 
 # get_color_map segments at this many bytes (ref map_manager.py:110)
 MAX_SEGMENT_LEN = int(1e8)

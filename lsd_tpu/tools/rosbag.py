@@ -19,7 +19,6 @@ CompressedImage}, nav_msgs/Odometry.
 from __future__ import annotations
 
 import bz2
-import os
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 

@@ -17,7 +17,7 @@ Both yield numpy batches: points (B, N, 4), mask (B, N), gt_boxes
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 
