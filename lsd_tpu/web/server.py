@@ -533,6 +533,9 @@ class PerceptionServer:
                     self.send_response(403)
                     self.end_headers()
                     return
+                if method == "GET" and path == "/v1/camera":
+                    self._stream_mjpeg()
+                    return
                 fn = routes.get((method, path))
                 if fn is None:
                     if method == "GET" and self._serve_static(path):
@@ -575,6 +578,41 @@ class PerceptionServer:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(json.dumps(out).encode())
+
+            def _stream_mjpeg(self) -> None:
+                """multipart/x-mixed-replace MJPEG of one camera's frames
+                (ref player_data_manager camera_server_main re-serving
+                recorded camera streams on :38000).  ?name= picks the
+                camera; default is the first one present."""
+                import time as _time
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                want = q.get("name", [None])[0]
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                last = None
+                try:
+                    while True:
+                        frame = (call_interface("databank.get_latest")
+                                 if has_interface("databank.get_latest")
+                                 else None)
+                        images = (frame or {}).get("image") or {}
+                        name = want if want in images else \
+                            (next(iter(images)) if images else None)
+                        jpeg = images.get(name) if name else None
+                        if isinstance(jpeg, (bytes, bytearray)) \
+                                and bytes(jpeg) != last:
+                            last = bytes(jpeg)
+                            self.wfile.write(b"--frame\r\n"
+                                             b"Content-Type: image/jpeg\r\n"
+                                             b"Content-Length: "
+                                             + str(len(last)).encode()
+                                             + b"\r\n\r\n" + last + b"\r\n")
+                        _time.sleep(0.05)
+                except (BrokenPipeError, ConnectionResetError):
+                    return
 
             def _serve_static(self, path: str) -> bool:
                 """Serve the built-in UI from web/www (ref: Flask serving

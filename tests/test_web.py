@@ -241,3 +241,18 @@ class TestReferenceRouteParity:
         st, body = _post(base + "/v1/publish-message",
                          {"channel": "test.chan", "data": {"v": 1}})
         assert st == 200
+
+    def test_mjpeg_camera_stream(self, server):
+        base, p = server
+        # inject a frame with a jpeg into the bank via the pipeline's
+        # databank interface (frames from the fixture recording carry no
+        # images, so read whatever is flowing and tolerate either)
+        import http.client
+        from urllib.parse import urlparse
+        u = urlparse(base)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=3)
+        conn.request("GET", "/v1/camera?name=front")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
+        conn.close()
