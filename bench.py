@@ -121,6 +121,34 @@ def main():
     jax.block_until_ready(r)
     det_ms = (time.perf_counter() - t0) / 50 * 1000
 
+    # quaternary metric: localization step latency (P2D-NDT align + ICP
+    # refinement against a local map — the per-scan work of the tracking
+    # mode, slam/localization.py).  Reference runs hdl_localization
+    # NDT_OMP at ~10 Hz budget.
+    from lsd_tpu.ops import hashmap_create, hashmap_insert
+    from lsd_tpu.slam.registration import (icp_point_to_plane, ndt_align,
+                                           ndt_build)
+    map_pts = dev_data[0][0]     # world-frame-ish scan as the local map
+    map_msk = dev_data[0][2]
+    ndt_map = ndt_build(map_pts[:, :3], map_msk, 1.0, 2 ** 16)
+    icp_map = hashmap_insert(
+        hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5),
+        map_pts[:, :3], map_msk)
+    q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    t0v = jnp.zeros(3, jnp.float32)
+    loc_pts = dev_data[1][0][:, :3]
+    loc_msk = dev_data[1][2]
+    print("bench: localization compile...", file=sys.stderr, flush=True)
+    q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=20)
+    q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=5)
+    jax.block_until_ready(t)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=20)
+        q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=5)
+    jax.block_until_ready(t)
+    loc_ms = (time.perf_counter() - t0) / 50 * 1000
+
     # all timing done — D2H fetches are safe now
     errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
             for p, d in zip(poses, dev_data[N_WARM:])]
@@ -135,6 +163,7 @@ def main():
         "ate_rmse_m": round(ate, 4),
         "pgo_gn_rounds_per_sec_1k_nodes": round(pgo_iters_per_sec, 2),
         "detection_ms_131k_pts": round(det_ms, 3),
+        "localization_ms_32k_pts": round(loc_ms, 3),
     }))
 
 
