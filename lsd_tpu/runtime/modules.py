@@ -223,10 +223,40 @@ class SlamModule(Module):
             imu_rel = np.asarray(imu, np.float64).copy()
             if imu_rel.size and imu_rel[:, 0].max() > 1e6:
                 imu_rel[:, 0] = (imu_rel[:, 0] - frame.scan.timestamp) / 1e6
+            # INS -> GPS prior + map origin + velocity observation
+            # (ref slam.cpp feedInsData -> enqueue_graph_gps +
+            # wheelspeed observation laserMapping.cpp:794-812)
+            gps_xyz = vel_obs = vel_obs_valid = None
+            ins = d.get("ins_data") or {}
+            if d.get("ins_valid") and ins.get("latitude") \
+                    and int(ins.get("Status", 0)) != 0:
+                from ..geometry.utm import UTMProjector
+                if not hasattr(self, "_proj"):
+                    self._proj = UTMProjector()
+                    if self.engine.origin_lla is None:
+                        self.engine.origin_lla = np.asarray(
+                            [float(ins["latitude"]), float(ins["longitude"]),
+                             float(ins.get("altitude", 0.0))])
+                        self._alt0 = float(ins.get("altitude", 0.0))
+                x, y = self._proj.project(float(ins["latitude"]),
+                                          float(ins["longitude"]))
+                gps_xyz = np.asarray(
+                    [float(x), float(y),
+                     float(ins.get("altitude", 0.0))
+                     - getattr(self, "_alt0", 0.0)], np.float32)
+                if "Ve" in ins:
+                    vel_obs = np.asarray([float(ins.get("Ve", 0.0)),
+                                          float(ins.get("Vn", 0.0)),
+                                          float(ins.get("Vu", 0.0))],
+                                         np.float32)
+                    vel_obs_valid = np.asarray(True)
             out = self.engine.process_scan(
                 frame.scan.points[:, :3], frame.scan.stamps, frame.scan.mask,
                 imu_rel.astype(np.float32), imu_mask,
-                stamp_us=frame.scan.timestamp)
+                stamp_us=frame.scan.timestamp, gps_xyz=gps_xyz,
+                vel_obs=vel_obs, vel_obs_valid=vel_obs_valid,
+                images={k: v for k, v in (frame.images or {}).items()
+                        if isinstance(v, (bytes, bytearray))})
         else:
             out = self.engine.process_scan(frame.scan.points[:, :3],
                                            frame.scan.mask,

@@ -41,3 +41,37 @@ class TestGnssMapping:
         r = np.linalg.norm(pos[:, :2], axis=1)
         assert np.all(np.abs(r - 8.0) < 0.5), f"radii {r.min():.2f}..{r.max():.2f}"
         assert len(m.graph.gps) >= len(m.store) - 1
+
+
+@pytest.mark.slow
+def test_runtime_wires_ins_into_gps_priors():
+    """SlamModule must convert valid INS fixes into graph GPS priors,
+    anchor origin_lla at the first fix, and pass the velocity observation
+    (ref slam.cpp feedInsData + wheelspeed path)."""
+    import numpy as np
+    from lsd_tpu.runtime import clear_interfaces
+    from lsd_tpu.runtime.config import ConfigManager
+    from lsd_tpu.runtime.modules import SlamModule
+    from tests.test_io import make_frame_dict
+
+    clear_interfaces()
+    cfg = ConfigManager().config
+    m = SlamModule(cfg)
+    m.setup(cfg)
+    rng = np.random.default_rng(2)
+    for k in range(6):
+        d = make_frame_dict(ts=1_000_000 + k * 100_000, n=2048)
+        d["points"]["0-Ouster-OS1"] = (
+            rng.normal(size=(2048, 4)) * [10, 10, 2, 1]).astype(np.float32)
+        d["ins_data"]["Status"] = 1
+        # ~1.1 m north per 1e-5 deg latitude
+        d["ins_data"]["latitude"] = 42.0 + k * 2e-5
+        m.process(d)
+    eng = m.engine
+    assert eng.origin_lla is not None
+    np.testing.assert_allclose(eng.origin_lla[:2], [42.0, -83.0])
+    assert len(eng.graph.gps) >= 1           # priors attached to keyframes
+    # prior positions follow the northward motion
+    xyz = np.stack([g[1] for g in eng.graph.gps])
+    assert np.all(np.isfinite(xyz))
+    clear_interfaces()
