@@ -108,6 +108,26 @@ def serialize_detection(result: Dict, include_points: bool = False,
                       x_num=fs["x_num"], y_num=fs["y_num"]),
             cells=bytes(fs["cells"])))
         msg["freespace"] = fs_bytes
+    if result.get("radar"):
+        # radar: {radar_name: [RadarObject-style dicts]} (ref
+        # proto_serialize radar path; aux_sources RadarSource frames)
+        msg["radar"] = [dict(
+            radar_name=str(name),
+            radar_object=[dict(
+                id=int(o.get("id", 0)), type=int(o.get("type", 0)),
+                confidence=1.0, valid=True,
+                box=dict(center=dict(x=float(o.get("x", 0.0)),
+                                     y=float(o.get("y", 0.0)),
+                                     z=float(o.get("z", 0.0))),
+                         length=float(o.get("length", 0.0)) or 1.0,
+                         width=float(o.get("width", 0.0)) or 1.0,
+                         height=1.0,
+                         heading=float(o.get("yaw_deg", 0.0)) * np.pi / 180.0),
+                velocity_x=float(o.get("vx", 0.0)),
+                velocity_y=float(o.get("vy", 0.0)),
+                accel_x=float(o.get("ax", 0.0)))
+                for o in objs])
+            for name, objs in result["radar"].items()]
     if result.get("lights"):
         msg["light"] = [dict(id=int(l.get("id", 0)), pictogram=int(l.get("pictogram", 0)),
                              color=int(l.get("color", 0)), confidence=float(l.get("confidence", 0.0)),

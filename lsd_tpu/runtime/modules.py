@@ -479,6 +479,7 @@ class HttpSinkModule(Module):
             payload = serialize_detection(dict(
                 timestamp=d.get("frame_timestamp_monotonic", 0),
                 objects=d.get("objects", []),
+                radar=d.get("radar"),
                 fps=self.fps.fps), include_points=False)
             with self._lock:
                 self.latest = payload

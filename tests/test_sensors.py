@@ -79,3 +79,19 @@ class TestIns:
         trk = InsMotionTracker()
         out = trk.trigger(1000)
         assert out["pose"] is None and not out["motion_valid"]
+
+
+def test_radar_objects_serialize_to_proto():
+    from lsd_tpu.proto.detection import parse_detection, serialize_detection
+    result = dict(timestamp=123, objects=[], radar={
+        "ARS408": [dict(id=4, x=12.5, y=-3.0, vx=5.0, vy=0.1,
+                        yaw_deg=90.0, length=4.2, width=1.8, type=1)]})
+    data = serialize_detection(result)
+    msg = parse_detection(data)
+    radar = msg["radar"][0]
+    assert radar["radar_name"] == "ARS408"
+    obj = radar["radar_object"][0]
+    assert obj["id"] == 4 and obj["type"] == 1
+    assert abs(obj["box"]["center"]["x"] - 12.5) < 1e-6
+    assert abs(obj["velocity_x"] - 5.0) < 1e-6
+    assert abs(obj["box"]["heading"] - 1.5708) < 1e-3
