@@ -11,11 +11,19 @@ from typing import Any, Dict, Optional
 from ..utils.log import get_logger, set_logger_level
 from .config import CheckResult, ConfigManager
 from .interface import call_interface, register_interface
-from .modules import (DetectModule, PlayerSource, SinkModule, SlamModule)
+from .modules import (DetectModule, SinkModule, SlamModule)
 from .pipeline import ModuleManager, PipelineStatus, Split
 
+
+def _make_source(cfg):
+    """Offline -> player; online -> multi-sensor SourceManager
+    (ref module/source/source_manager.py owning all data managers)."""
+    from .source_manager import SourceManager
+    return SourceManager(cfg)
+
+
 DEFAULT_REGISTRY = {
-    "Source": PlayerSource,
+    "Source": _make_source,
     "SLAM": SlamModule,
     "Detect": DetectModule,
     "Sink": SinkModule,

@@ -182,3 +182,61 @@ class TestSerialPort:
         finally:
             os.close(master)
             os.close(slave)
+
+
+class TestSourceManager:
+    """Multi-sensor merge façade (runtime/source_manager.py; ref
+    module/source/source_manager.py get_data:66-91)."""
+
+    def test_offline_delegates_to_player(self, tmp_path):
+        from lsd_tpu.io.recorder import FrameRecorder
+        from lsd_tpu.runtime import clear_interfaces
+        from lsd_tpu.runtime.config import ConfigManager
+        from lsd_tpu.runtime.interface import has_interface
+        from lsd_tpu.runtime.source_manager import SourceManager
+        from tests.test_io import make_frame_dict
+        clear_interfaces()
+        rec = FrameRecorder(str(tmp_path / "rec"))
+        for k in range(3):
+            rec.write(make_frame_dict(ts=1_000_000 + k * 100_000))
+        cfg = ConfigManager().config
+        cfg["input"]["data_path"] = rec.log_dir
+        src = SourceManager(cfg)
+        src.setup(cfg)
+        assert has_interface("player.get_status")
+        d = src.get_data()
+        assert d is not None and d["lidar_valid"]
+        src.release()
+        clear_interfaces()
+
+    def test_online_merges_radar_and_ins(self):
+        from lsd_tpu.io.gpchc import format_gpchc
+        from lsd_tpu.runtime import clear_interfaces
+        from lsd_tpu.runtime.config import ConfigManager
+        from lsd_tpu.runtime.source_manager import SourceManager
+        clear_interfaces()
+        cfg = ConfigManager().config
+        cfg["input"]["mode"] = "online"
+        cfg["input"]["scan_hz"] = 50.0
+        cfg["lidar"] = []
+        cfg["camera"] = []
+        cfg["radar"] = [dict(use=True)]
+        cfg["ins"]["use"] = True
+        cfg["ins"]["port"] = 0          # no socket; feed directly
+        src = SourceManager(cfg)
+        src.setup(cfg)
+        assert src.radar is not None and src.ins is not None
+        # feed an ARS408 object + a GPCHC fix directly
+        from lsd_tpu.sensors.radar import RadarObject
+        src.radar.latest = (123, [RadarObject(id=1, x=10.0, y=1.0, vx=3.0)])
+        sent = ("$GPCHC,2260,303867.00,10.0,0.1,-0.1,0.01,0.02,0.03,0.001,"
+                "0.002,0.998,42.0,-83.0,270.0,1.0,2.0,0.0,2.24,18,22,42,1,2*55")
+        src.ins.feed_sentence(sent)
+        assert src.ins.last_fix is not None
+        d = src.get_data()
+        assert d is not None
+        assert d["radar_valid"] and d["radar"]["ARS408"][0]["x"] == 10.0
+        assert d["ins_valid"] and d["ins_data"]["latitude"] == 42.0
+        assert d["_source"] == "Source"
+        src.release()
+        clear_interfaces()
