@@ -43,8 +43,8 @@ class PerceptionServer:
             ("GET", "/v1/config"): lambda q: p.get_config(),
             ("POST", "/v1/config"): lambda body: {"result": p.set_config(body)},
             ("GET", "/v1/restore-config"): self._restore_config,
-            ("POST", "/v1/status"): lambda body: p.get_status(),
-            ("GET", "/v1/status"): lambda q: p.get_status(),
+            ("POST", "/v1/status"): self._status,
+            ("GET", "/v1/status"): self._status,
             ("POST", "/v1/detection-pb"): self._detection_pb,
             ("GET", "/v1/player-status"): lambda q: (
                 call_interface("player.get_status")
@@ -166,6 +166,28 @@ class PerceptionServer:
         register_calibration_interfaces()
 
     # reference-route handlers -------------------------------------------
+    def _status(self, body: Dict) -> Dict:
+        """Module status + wall-clock + record-disk usage (ref
+        perception_server.get_status:85-90 adding time + disk)."""
+        import datetime
+        import shutil
+        st = self.perception.get_status()
+        st["time"] = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        disk = dict(has_disk=False, disk_name="", total=0, used_percent=0)
+        try:
+            root = self._record_root()
+            import os
+            probe = root if os.path.isdir(root) else "/"
+            du = shutil.disk_usage(probe)
+            disk = dict(has_disk=os.path.isdir(root),
+                        disk_name=os.path.basename(root.rstrip("/")) or "/",
+                        total=du.total,
+                        used_percent=round(du.used / du.total * 100, 1))
+        except OSError:
+            pass
+        st.setdefault("disk", {}).update(disk)
+        return st
+
     def _do(self, fn, *args):
         fn(*args)
         return ""

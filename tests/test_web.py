@@ -256,3 +256,10 @@ class TestReferenceRouteParity:
         assert resp.status == 200
         assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
         conn.close()
+
+    def test_status_includes_time_and_disk(self, server):
+        base, p = server
+        st, body = _post(base + "/v1/status", {})
+        out = json.loads(body)
+        assert "time" in out and out["time"].count(":") == 2
+        assert "disk" in out and "used_percent" in out["disk"]
