@@ -96,12 +96,17 @@ def _content_key(coords: jax.Array) -> jax.Array:
     return (_hash_coords(coords, 0x85EBCA77) & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
 
 
-def _probe_find(keys: jax.Array, coords: jax.Array, capacity: int) -> jax.Array:
-    """Find existing slot for voxel coords (..., 3); -1 if absent."""
+def _probe_find(keys: jax.Array, coords: jax.Array, capacity: int,
+                num_probes: int = NUM_PROBES) -> jax.Array:
+    """Find existing slot for voxel coords (..., 3); -1 if absent.
+
+    num_probes can be lowered by callers whose tables run at low load
+    factor (e.g. the surfel map): probe gathers are the dominant cost of
+    a lookup and nearly all hits land in the first couple of slots."""
     h0 = _slot_hash(coords, capacity)
     ck = _content_key(coords)
     found = jnp.full(h0.shape, -1, jnp.int32)
-    for p in range(NUM_PROBES):
+    for p in range(num_probes):
         slot = (h0 + p) & (capacity - 1)
         match = keys[slot] == ck
         found = jnp.where((found < 0) & match, slot, found)

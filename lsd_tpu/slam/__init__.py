@@ -1,5 +1,5 @@
 from .state import NavState, ERR_DIM, boxplus, boxminus, init_state
-from .lio import LioConfig, LioState, lio_init, lio_step
+from .lio import LioConfig, LioState, lio_init, lio_step, lio_step_batch
 from .posegraph import PgoConfig, PoseGraphData, optimize
 from .graph_builder import PoseGraphBuilder
 from .keyframe import Keyframe, KeyframeStore, KeyframeUpdater

@@ -286,3 +286,26 @@ def lio_step(cfg: LioConfig, st: LioState,
                       initialized=jnp.full((), True),
                       step_count=st.step_count + 1)
     return new_st, info
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lio_step_batch(cfg: LioConfig, st: LioState,
+                   points: jax.Array, stamps: jax.Array, mask: jax.Array,
+                   imu: jax.Array, imu_mask: jax.Array
+                   ) -> Tuple[LioState, jax.Array]:
+    """Process K scans in ONE dispatch via lax.scan.
+
+    points (K, N, 3|4), stamps (K, N), mask (K, N), imu (K, M, 7),
+    imu_mask (K, M) -> (state, poses (K, 4, 4)).
+
+    Offline replay / mapping batches scans this way to amortize the
+    per-dispatch host overhead (the dominant cost on tunneled TPU
+    transports: the single-scan step is dispatch-bound, ROUND1.md);
+    semantics are identical to K sequential lio_step calls.
+    """
+    def body(carry, xs):
+        P, S, M, I, IM = xs
+        new_st, info = lio_step.__wrapped__(cfg, carry, P, S, M, I, IM)
+        return new_st, info["pose"]
+
+    return jax.lax.scan(body, st, (points, stamps, mask, imu, imu_mask))

@@ -140,3 +140,40 @@ class TestLio:
                             scan_voxel=0.4, map_voxel=0.4)
         errs, est, gts, st = self._run(sim_cfg, lio_cfg, 20, init_vel_err=0.5)
         assert errs[-1] < 0.3, f"did not recover: {errs}"
+
+
+@pytest.mark.slow
+def test_lio_step_batch_matches_sequential():
+    """lio_step_batch (K scans per dispatch) must track the sequential
+    single-scan path; tiny float divergence is allowed (different fusion
+    order inside lax.scan)."""
+    import jax
+    from lsd_tpu.slam import lio_step_batch
+    sim = CircleSim(SimConfig(n_scans=9, points_per_scan=4096, seed=12))
+    data = sim.generate(capacity=4096, imu_capacity=16)
+    R, p = sim.pose(0.0)
+    nav0 = init_state()._replace(
+        pos=jnp.asarray(p, jnp.float32),
+        quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+        vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+    cfg = LioConfig(ds_capacity=2048, map_capacity=2 ** 14,
+                    scan_voxel=0.4, map_voxel=0.4)
+    st_seq = lio_init(cfg, nav0)
+    seq_poses = []
+    for (P_, S_, M_, I_, IM_, _) in data:
+        st_seq, info = lio_step(cfg, st_seq, jnp.asarray(P_), jnp.asarray(S_),
+                                jnp.asarray(M_), jnp.asarray(I_),
+                                jnp.asarray(IM_))
+        seq_poses.append(np.asarray(info["pose"]))
+
+    st_b = lio_init(cfg, nav0)
+    import numpy as _np
+    batch = [ _np.stack([_np.asarray(d[i]) for d in data]) for i in range(5)]
+    st_b, poses = lio_step_batch(cfg, st_b, *map(jnp.asarray, batch))
+    poses = np.asarray(jax.device_get(poses))
+    assert poses.shape == (9, 4, 4)
+    for k in range(9):
+        assert np.linalg.norm(poses[k][:3, 3] - seq_poses[k][:3, 3]) < 1e-2, k
+    # final states agree
+    assert np.linalg.norm(np.asarray(st_b.nav.pos) -
+                          np.asarray(st_seq.nav.pos)) < 1e-2
