@@ -144,27 +144,29 @@ def main():
     # refinement against a local map — the per-scan work of the tracking
     # mode, slam/localization.py).  Reference runs hdl_localization
     # NDT_OMP at ~10 Hz budget.
-    from lsd_tpu.ops import hashmap_create, hashmap_insert
+    from lsd_tpu.ops.surfel import surfel_create, surfel_insert
     from lsd_tpu.slam.registration import (icp_point_to_plane, ndt_align,
                                            ndt_build)
     map_pts = dev_data[0][0]     # world-frame-ish scan as the local map
     map_msk = dev_data[0][2]
     ndt_map = ndt_build(map_pts[:, :3], map_msk, 1.0, 2 ** 16)
-    icp_map = hashmap_insert(
-        hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5),
+    icp_map = surfel_insert(
+        surfel_create(capacity=2 ** 16, voxel_size=0.5),
         map_pts[:, :3], map_msk)
     q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
     t0v = jnp.zeros(3, jnp.float32)
     loc_pts = dev_data[1][0][:, :3]
     loc_msk = dev_data[1][2]
     print("bench: localization compile...", file=sys.stderr, flush=True)
-    q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=20)
-    q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=5)
+    q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=15)
+    q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=6,
+                                 searches=2)
     _ = jax.device_get(t[0])
     t0 = time.perf_counter()
     for _ in range(50):
-        q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=20)
-        q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=5)
+        q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=15)
+        q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t,
+                                     iters=6, searches=2)
     _ = jax.device_get(t[0])
     loc_ms = (time.perf_counter() - t0) / 50 * 1000
 

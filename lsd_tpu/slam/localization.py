@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry import np_so3
-from ..ops import hashmap_create, hashmap_insert
+from ..ops.surfel import surfel_create, surfel_insert
 from .keyframe import Keyframe, KeyframeStore
 from .map_io import load_map
 from .registration import icp_point_to_plane, ndt_align, ndt_build
@@ -136,9 +136,10 @@ class Localizer:
         m[:len(cloud)] = True
         self.ndt_map = ndt_build(jnp.asarray(pad), jnp.asarray(m),
                                  self.cfg.ndt_resolution, self.cfg.ndt_capacity)
-        # companion point map for the precise ICP refinement stage
-        icp_m = hashmap_create(capacity=2 ** 17, points_per_voxel=8, voxel_size=0.5)
-        self.icp_map = hashmap_insert(icp_m, jnp.asarray(pad), jnp.asarray(m))
+        # companion surfel map for the precise ICP refinement stage
+        # (surfel lookups are ~10x cheaper than kNN over raw points)
+        icp_m = surfel_create(capacity=2 ** 17, voxel_size=0.5)
+        self.icp_map = surfel_insert(icp_m, jnp.asarray(pad), jnp.asarray(m))
         self._local_cloud = (pad, m)
         self.map_center = np.asarray(center, float).copy()
 
@@ -174,14 +175,14 @@ class Localizer:
         pad[:len(target)] = target[:, :3]
         tm = np.zeros(cap, bool)
         tm[:len(target)] = True
-        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
-        m = hashmap_insert(m, jnp.asarray(pad), jnp.asarray(tm))
+        m = surfel_create(capacity=2 ** 16, voxel_size=0.5)
+        m = surfel_insert(m, jnp.asarray(pad), jnp.asarray(tm))
         Rz = np_so3.exp_so3([0.0, 0.0, -float(yaw0)])
         R0 = cand_pose[:3, :3] @ Rz
         q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
         t0 = jnp.asarray(cand_pose[:3, 3], jnp.float32)
         q, t, info = icp_point_to_plane(m, jnp.asarray(points[:, :3]), jnp.asarray(mask),
-                                        q0, t0, iters=15)
+                                        q0, t0, iters=15, searches=5)
         if float(info["fitness"]) < self.cfg.reloc_fitness_thresh:
             return None
         T = np.eye(4)
@@ -216,11 +217,12 @@ class Localizer:
         q0 = so3.matrix_to_quat(jnp.asarray(T_pred[:3, :3], jnp.float32))
         t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
         q, t, info = ndt_align(self.ndt_map, jnp.asarray(points[:, :3]),
-                               jnp.asarray(mask), q0, t0, iters=20)
+                               jnp.asarray(mask), q0, t0, iters=15)
         # precise refinement: point-to-plane ICP pulls the NDT estimate the
         # last decimeters (NDT has a wide basin but a soft optimum)
         q, t, icp_info = icp_point_to_plane(self.icp_map, jnp.asarray(points[:, :3]),
-                                            jnp.asarray(mask), q, t, iters=5)
+                                            jnp.asarray(mask), q, t, iters=6,
+                                            searches=2)
         matched = float(info["matched_frac"])
         if matched > 0.15 and float(icp_info["fitness"]) > 0.2:
             self.ukf = ukf_correct(self.ukf, t, q, self.cfg.ukf)

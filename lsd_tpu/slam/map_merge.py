@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry import np_so3
-from ..ops import hashmap_create, hashmap_insert
+from ..ops.surfel import surfel_create, surfel_insert
 from .graph_builder import PoseGraphBuilder
 from .keyframe import Keyframe, KeyframeStore
 from .map_io import load_map, save_map
@@ -72,8 +72,8 @@ def find_cross_edges(store_a: KeyframeStore, store_b: KeyframeStore,
         if len(target) < 500:
             continue
         TP, TM = _pad_cloud(target)
-        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
-        m = hashmap_insert(m, TP, TM)
+        m = surfel_create(capacity=2 ** 16, voxel_size=0.5)
+        m = surfel_insert(m, TP, TM)
         # initial guess: candidate pose with SC yaw
         Rz = np_so3.exp_so3([0.0, 0.0, -float(yaw)])
         R0 = kf_a.pose[:3, :3] @ Rz

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry import np_so3
-from ..ops import hashmap_create, hashmap_insert, voxel_downsample
+from ..ops import voxel_downsample
+from ..ops.surfel import surfel_create, surfel_insert
 from .graph_builder import PoseGraphBuilder
 from .keyframe import Keyframe, KeyframeStore, KeyframeUpdater
 from .lio import LioConfig, lio_init, lio_step
@@ -181,8 +182,8 @@ class Mapper:
         tgt_pad[:len(target)] = target[:, :3]
         tmask = np.zeros(cap, bool)
         tmask[:len(target)] = True
-        m = hashmap_create(capacity=2 ** 16, points_per_voxel=8, voxel_size=0.5)
-        m = hashmap_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
+        m = surfel_create(capacity=2 ** 16, voxel_size=0.5)
+        m = surfel_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
 
         src = kf.cloud[:, :3]
         scap = 1 << int(np.ceil(np.log2(max(len(src), 2))))

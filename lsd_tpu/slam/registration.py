@@ -16,7 +16,7 @@ Both optimize a 6-dof right-perturbation twist with fixed iteration counts
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,22 +34,48 @@ def _apply(q, t, pts):
 # point-to-plane ICP against a voxel hash map
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "neighborhood"))
-def icp_point_to_plane(target: VoxelHashMap, source: jax.Array, mask: jax.Array,
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "neighborhood", "searches"))
+def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
                        q0: jax.Array, t0: jax.Array, iters: int = 10,
                        plane_thresh: float = 0.2, max_dist: float = 1.0,
-                       neighborhood: int = 19) -> Tuple[jax.Array, jax.Array, dict]:
+                       neighborhood: int = 19,
+                       searches: Optional[int] = None
+                       ) -> Tuple[jax.Array, jax.Array, dict]:
     """Refine (q0, t0) so that source points fit target planes.
+
+    target: VoxelHashMap (kNN + 5-point plane fit) or SurfelMap (merged
+    neighborhood moments — much cheaper lookups).
+
+    The expensive plane SEARCH runs `searches` times (default: every
+    iteration — exact classic ICP); between searches, `iters // searches`
+    Gauss-Newton iterations re-linearize against the fixed plane set.
+    Callers with tight priors (localization tracking) pass searches=1-2
+    to amortize the dominant search cost; association is stable under
+    mm-cm per-iteration motion (fast_gicp likewise caches
+    correspondences).
 
     Returns (q, t, info) with info = dict(fitness=inlier fraction,
     mean_residual, last_delta).
     """
+    searches = iters if searches is None else max(1, min(searches, iters))
+    inner = max(1, iters // searches)
+
+    def find_planes(q, t):
+        pw = _apply(q, t, source)
+        from ..ops.surfel import SurfelMap, surfel_match
+        if isinstance(target, SurfelMap):
+            normals, d, ok, _rms = surfel_match(target, pw, mask,
+                                                plane_thresh)
+        else:
+            nbrs, nvalid = hashmap_knn(target, pw, mask, k=5,
+                                       neighborhood=neighborhood)
+            normals, d, ok = fit_planes(nbrs, nvalid, plane_thresh)
+        return normals, d, ok
 
     def gn_step(carry, _):
-        q, t = carry
+        q, t, normals, d, ok = carry
         pw = _apply(q, t, source)
-        nbrs, nvalid = hashmap_knn(target, pw, mask, k=5, neighborhood=neighborhood)
-        normals, d, ok = fit_planes(nbrs, nvalid, plane_thresh)
         r = jnp.einsum("ni,ni->n", pw, normals) + d
         valid = mask & ok & (jnp.abs(r) < max_dist)
         w = valid.astype(source.dtype)
@@ -64,9 +90,14 @@ def icp_point_to_plane(target: VoxelHashMap, source: jax.Array, mask: jax.Array,
         q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
         t_new = t + dx[3:]
         stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(rw)), jnp.linalg.norm(dx)])
-        return (q_new, t_new), stats
+        return (q_new, t_new, normals, d, ok), stats
 
-    (q, t), stats = jax.lax.scan(gn_step, (q0, t0), None, length=iters)
+    q, t = q0, t0
+    stats = None
+    for _ in range(searches):
+        normals, d, ok = find_planes(q, t)
+        (q, t, _, _, _), stats = jax.lax.scan(
+            gn_step, (q, t, normals, d, ok), None, length=inner)
     n_valid = stats[-1, 0]
     n_total = jnp.maximum(jnp.sum(mask.astype(source.dtype)), 1.0)
     info = dict(fitness=n_valid / n_total,
@@ -170,7 +201,7 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
         tt = t + xi[3:]
         pw = _apply(qq, tt, source)
         coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
-        slot = _probe_find(m.keys, coords, cap)
+        slot = _probe_find(m.keys, coords, cap, num_probes=3)
         ok = mask & (slot >= 0)
         sl = jnp.maximum(slot, 0)
         dxv = pw - m.mean[sl]
@@ -181,7 +212,6 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
     def gn_step(carry, _):
         q, t = carry
         xi0 = jnp.zeros(6, source.dtype)
-        g = jax.grad(lambda xi: score_fn(xi, q, t)[0])(xi0)
 
         def pw_fn(xi):
             qq = so3.quat_mul(q, so3.quat_from_rotvec(xi[:3]))
@@ -190,7 +220,9 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
         J = jax.jacfwd(pw_fn)(xi0)                          # (N, 3, 6)
         pw = pw_fn(xi0)
         coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
-        slot = _probe_find(m.keys, coords, cap)
+        # low load factor: 3 probes cover essentially every voxel;
+        # probing is the dominant cost of the step
+        slot = _probe_find(m.keys, coords, cap, num_probes=3)
         ok = mask & (slot >= 0)
         sl = jnp.maximum(slot, 0)
         dxv = pw - m.mean[sl]
@@ -200,6 +232,10 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
         w = jnp.where(ok, jnp.abs(d1) * d2 * e, 0.0)
         gi = jnp.einsum("ni,nij,njk->nk", dxv, ci, J)       # (N, 6) per-point grads
         H = jnp.einsum("n,nk,nl->kl", w, gi, gi) + 1e-3 * jnp.eye(6, dtype=source.dtype)
+        # analytic score gradient from the SAME gathered values (the
+        # autodiff of score_fn re-probed and re-gathered everything):
+        # ds_i/dxi = d1 * d2 * e_i * gi_i
+        g = jnp.sum(jnp.where(ok, d1 * d2 * e, 0.0)[:, None] * gi, axis=0)
         # the score is a sum of positive Gaussian bumps (-d1 > 0): ASCEND it
         dx = jnp.clip(jnp.linalg.solve(H, g), -0.5, 0.5)
         q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
@@ -228,7 +264,7 @@ def align_clouds(source: "np.ndarray", target: "np.ndarray",
     align surface)."""
     import numpy as np
     from ..geometry import np_so3
-    from ..ops import hashmap_create, hashmap_insert
+    from ..ops.surfel import surfel_create, surfel_insert
 
     def pad(pts):
         cap = 1 << int(np.ceil(np.log2(max(len(pts), 2))))
@@ -241,9 +277,8 @@ def align_clouds(source: "np.ndarray", target: "np.ndarray",
     TP, TM = pad(np.asarray(target, np.float32))
     SP, SM = pad(np.asarray(source, np.float32))
     cap = max(2 ** 14, 2 * int(TM.shape[0]))
-    m = hashmap_create(capacity=cap, points_per_voxel=8,
-                       voxel_size=voxel_size)
-    m = hashmap_insert(m, TP, TM)
+    m = surfel_create(capacity=cap, voxel_size=voxel_size)
+    m = surfel_insert(m, TP, TM)
     T0 = np.asarray(T0, float).reshape(4, 4)
     q0 = jnp.asarray(np_so3.matrix_to_quat(T0[:3, :3]), jnp.float32)
     t0 = jnp.asarray(T0[:3, 3], jnp.float32)
