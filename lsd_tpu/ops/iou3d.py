@@ -30,78 +30,62 @@ def _box_corners_bev(boxes: jax.Array) -> jax.Array:
     return jnp.stack([cx, cy], axis=-1)
 
 
-def _polygon_area(poly: jax.Array, mask: jax.Array) -> jax.Array:
-    """Shoelace area of a masked polygon (..., V, 2) with valid-vertex mask.
-
-    Vertices must be ordered; masked slots must duplicate the last valid
-    vertex (we guarantee this in _clip)."""
-    nxt = jnp.roll(poly, -1, axis=-2)
-    cross = poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1]
-    return 0.5 * jnp.abs(jnp.sum(cross * mask, axis=-1))
-
-
-def _clip_poly_halfplane(poly, pmask, a, b):
-    """Clip polygon by half-plane (points p with cross(b-a, p-a) >= 0 kept).
-
-    poly: (V, 2) with pmask (V,) — fixed buffer V=16; output same size.
-    Sutherland-Hodgman with static buffers: for each edge (p, q) of the
-    input polygon emit up to 2 vertices into fixed slots (2 per input
-    vertex), then compact by validity mask ordering preserved via cumsum
-    positions.
-    """
-    V = poly.shape[0]
-    d = b - a
-    side = d[0] * (poly[:, 1] - a[1]) - d[1] * (poly[:, 0] - a[0])
-    inside = (side >= 0) & pmask
-
-    # next valid vertex with wrap-around: valid vertices are compacted at
-    # the front, so "next of the last valid" is index 0 (a plain roll would
-    # step into padding and drop the closing edge)
-    cnt_in = jnp.sum(pmask.astype(jnp.int32))
-    nxt_i = jnp.where(jnp.arange(V) + 1 >= cnt_in, 0, jnp.arange(V) + 1)
-    q = poly[nxt_i]
-    side_q = d[0] * (q[:, 1] - a[1]) - d[1] * (q[:, 0] - a[0])
-    inside_q = (side_q >= 0) & pmask
-
-    denom = side - side_q
-    t = side / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
-    inter = poly + jnp.clip(t, 0.0, 1.0)[:, None] * (q - poly)
-
-    # per input edge: emit current vertex if inside; emit intersection if
-    # the edge crosses the boundary
-    emit1 = inside
-    emit2 = pmask & (inside ^ inside_q)
-
-    verts = jnp.stack([poly, inter], axis=1).reshape(2 * V, 2)
-    emits = jnp.stack([emit1, emit2], axis=1).reshape(2 * V)
-    # compact to the front (order preserving)
-    pos = jnp.cumsum(emits) - 1
-    out = jnp.zeros((2 * V, 2), poly.dtype)
-    out = out.at[jnp.where(emits, pos, 2 * V - 1)].set(
-        jnp.where(emits[:, None], verts, 0.0), mode="drop")
-    cnt = jnp.sum(emits.astype(jnp.int32))
-    omask = jnp.arange(2 * V) < cnt
-    # fill masked tail with first vertex (harmless for area)
-    out = jnp.where(omask[:, None], out, out[0])
-    return out[:V], omask[:V]  # V>=8 suffices: rect-rect clip has <= 8 verts
+def _inside_quad(corners: jax.Array, pts: jax.Array) -> jax.Array:
+    """CCW quad (4, 2) x points (P, 2) -> (P,) inside flags."""
+    a = corners
+    b = jnp.roll(corners, -1, axis=0)
+    d = b - a                                             # (4, 2)
+    rel = pts[:, None, :] - a[None, :, :]                 # (P, 4, 2)
+    cross = d[None, :, 0] * rel[..., 1] - d[None, :, 1] * rel[..., 0]
+    return jnp.all(cross >= -1e-6, axis=-1)
 
 
 def _pair_overlap_bev(c1: jax.Array, c2: jax.Array) -> jax.Array:
-    """Overlap area of two BEV rectangles given corners (4,2) each."""
-    V = 8
-    poly = jnp.zeros((V, 2), c1.dtype).at[:4].set(c1)
-    poly = jnp.where((jnp.arange(V) < 4)[:, None], poly, c1[0])
-    pmask = jnp.arange(V) < 4
+    """Overlap area of two BEV rectangles given CCW corners (4, 2) each.
 
-    def clip_edge(i, carry):
-        poly, pmask = carry
-        a = c2[i]
-        b = c2[(i + 1) % 4]
-        return _clip_poly_halfplane(poly, pmask, a, b)
+    Vertex-enumeration method (the same scheme as the reference's CUDA
+    iou3d kernel, sensor_driver/inference/iou3d_nms/iou3d_nms_kernel.cu):
+    the intersection polygon's vertices are corners of A inside B, corners
+    of B inside A, and edge-edge intersections (24 candidates).  Sort them
+    by angle around their centroid with lax.sort (fully vectorized — no
+    per-pair scatters, unlike Sutherland-Hodgman compaction) and take the
+    shoelace area.
+    """
+    # corner containment (8 candidates)
+    a_in = _inside_quad(c2, c1)
+    b_in = _inside_quad(c1, c2)
+    # edge-edge intersections (16 candidates)
+    a0 = c1
+    a1 = jnp.roll(c1, -1, axis=0)
+    b0 = c2
+    b1 = jnp.roll(c2, -1, axis=0)
+    da = (a1 - a0)[:, None, :]                            # (4, 1, 2)
+    db = (b1 - b0)[None, :, :]                            # (1, 4, 2)
+    rel = b0[None, :, :] - a0[:, None, :]                 # (4, 4, 2)
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    t = (rel[..., 0] * db[..., 1] - rel[..., 1] * db[..., 0]) / safe
+    u = (rel[..., 0] * da[..., 1] - rel[..., 1] * da[..., 0]) / safe
+    hit = (jnp.abs(denom) >= 1e-9) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    inter = a0[:, None, :] + t[..., None] * da            # (4, 4, 2)
 
-    for i in range(4):
-        poly, pmask = clip_edge(i, (poly, pmask))
-    return _polygon_area(poly, pmask.astype(c1.dtype))
+    pts = jnp.concatenate([c1, c2, inter.reshape(16, 2)], axis=0)   # (24, 2)
+    valid = jnp.concatenate([a_in, b_in, hit.reshape(16)])
+    cnt = jnp.sum(valid.astype(jnp.int32))
+    w = valid.astype(c1.dtype)
+    center = jnp.sum(pts * w[:, None], axis=0) / jnp.maximum(cnt, 1)
+    ang = jnp.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    ang = jnp.where(valid, ang, jnp.inf)                  # invalid sort last
+    ang_s, px, py = jax.lax.sort((ang, pts[:, 0], pts[:, 1]), num_keys=1)
+    sorted_pts = jnp.stack([px, py], axis=-1)
+    # padding slots := first vertex -> their cross terms vanish and the
+    # closing edge (last valid -> first) is included by the roll
+    first = sorted_pts[0]
+    sorted_pts = jnp.where((jnp.arange(24) < cnt)[:, None], sorted_pts, first)
+    nxt = jnp.roll(sorted_pts, -1, axis=0)
+    cross = sorted_pts[:, 0] * nxt[:, 1] - nxt[:, 0] * sorted_pts[:, 1]
+    area = 0.5 * jnp.abs(jnp.sum(cross))
+    return jnp.where(cnt >= 3, area, 0.0)
 
 
 def _ensure_ccw(corners: jax.Array) -> jax.Array:
