@@ -2,9 +2,9 @@
 
 TPU-native replacement for the reference's CUDA kernels
 (sensor_driver/inference/iou3d_nms/src/iou3d_nms_kernel.cpp(.cu) +
-iou3d_cpu.cpp): rotated-rectangle overlap via Sutherland-Hodgman polygon
-clipping, batched as pure tensor ops (no data-dependent loops — every box
-pair is processed with fixed-size polygon buffers and masks).
+iou3d_cpu.cpp): rotated-rectangle overlap via vertex enumeration (corner
+containment + edge intersections, angle-sorted with lax.sort), batched as
+pure tensor ops — no data-dependent loops, no per-pair scatters.
 
 Boxes are (x, y, z, dx, dy, dz, heading) like the reference (OpenPCDet
 convention, heading about +z).
