@@ -54,7 +54,13 @@ class SourceManager(Module):
         if radar_cfg and any(r.get("use", True) if isinstance(r, dict)
                              else True for r in radar_cfg):
             from .aux_sources import RadarSource
-            self.radar = RadarSource(cfg)
+            reader = None
+            device = next((r.get("device") for r in radar_cfg
+                           if isinstance(r, dict) and r.get("device")), None)
+            if device:
+                from ..sensors.can_bus import open_can_reader
+                reader = open_can_reader(str(device))
+            self.radar = RadarSource(cfg, can_reader=reader)
             self.radar.setup(cfg)
         ins_cfg = getattr(cfg, "ins", None)
         if ins_cfg is not None and getattr(ins_cfg, "use", False):

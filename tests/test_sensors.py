@@ -95,3 +95,35 @@ def test_radar_objects_serialize_to_proto():
     assert abs(obj["box"]["center"]["x"] - 12.5) < 1e-6
     assert abs(obj["velocity_x"] - 5.0) < 1e-6
     assert abs(obj["box"]["heading"] - 1.5708) < 1e-3
+
+
+class TestCanBus:
+    def test_frame_pack_unpack(self):
+        from lsd_tpu.sensors.can_bus import (CAN_FRAME_SIZE, pack_frame,
+                                             unpack_frame)
+        raw = pack_frame(0x60B, b"\x01\x02\x03\x04\x05")
+        assert len(raw) == CAN_FRAME_SIZE == 16
+        cid, data = unpack_frame(raw)
+        assert cid == 0x60B and data == b"\x01\x02\x03\x04\x05"
+        # full 8-byte payload
+        cid, data = unpack_frame(pack_frame(0x123, bytes(range(8))))
+        assert data == bytes(range(8))
+
+    def test_socket_roundtrip_if_vcan(self):
+        """Real AF_CAN loopback when a vcan interface exists (skipped in
+        plain containers)."""
+        import pytest
+        from lsd_tpu.sensors.can_bus import can_available, open_can_reader
+        if not can_available():
+            pytest.skip("AF_CAN unsupported")
+        rx = open_can_reader("vcan0")
+        if rx is None:
+            pytest.skip("no vcan0 interface")
+        tx = open_can_reader("vcan0")
+        tx.send(0x60B, b"\xaa\xbb")
+        import time
+        time.sleep(0.05)
+        frames = rx.read()
+        assert (0x60B, b"\xaa\xbb") in frames
+        rx.close()
+        tx.close()
