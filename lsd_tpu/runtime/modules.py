@@ -258,9 +258,23 @@ class SlamModule(Module):
                 images={k: v for k, v in (frame.images or {}).items()
                         if isinstance(v, (bytes, bytearray))})
         else:
+            # localization mode: IMU sample + GNSS fix (projected into the
+            # map frame via the map's origin anchor) feed the UKF fusion
+            gyro = acc = gps = None
+            if frame.imu is not None and frame.imu.mask.any():
+                last = np.asarray(frame.imu.data)[int(frame.imu.mask.sum()) - 1]
+                gyro, acc = last[1:4], last[4:7]
+            ins = d.get("ins_data") or {}
+            if d.get("ins_valid") and ins.get("latitude") \
+                    and int(ins.get("Status", 0)) != 0:
+                gps = self.engine.project_fix(float(ins["latitude"]),
+                                              float(ins["longitude"]),
+                                              float(ins.get("altitude", 0.0)))
             out = self.engine.process_scan(frame.scan.points[:, :3],
                                            frame.scan.mask,
-                                           stamp_us=frame.scan.timestamp)
+                                           stamp_us=frame.scan.timestamp,
+                                           imu_gyro=gyro, imu_acc=acc,
+                                           gps_xyz=gps)
         if out.get("pose") is not None:
             self.last_pose = np.asarray(out["pose"])
             # observability: publish fused odometry on the bus

@@ -191,8 +191,22 @@ class Localizer:
         return T
 
     # ------------------------------------------------------------------
+    def project_fix(self, lat: float, lon: float,
+                    alt: float = 0.0) -> Optional[np.ndarray]:
+        """GNSS fix -> map-frame xyz via the map's saved origin anchor
+        (graph/map_info.txt)."""
+        if self.origin is None or np.size(self.origin) < 2:
+            return None
+        from ..geometry.utm import latlon_to_utm
+        o = np.asarray(self.origin, float).reshape(-1)
+        x0, y0, zone = latlon_to_utm(o[0], o[1])
+        x, y, _ = latlon_to_utm(lat, lon, zone)
+        alt0 = o[2] if o.size > 2 else 0.0
+        return np.asarray([x - x0, y - y0, alt - alt0], np.float32)
+
     def process_scan(self, points, mask, stamp_us: int,
-                     imu_gyro=None, imu_acc=None, image=None) -> Dict:
+                     imu_gyro=None, imu_acc=None, image=None,
+                     gps_xyz=None, gps_var: float = 4.0) -> Dict:
         """Feed one padded scan (sensor frame). Returns dict(pose, status)."""
         points = np.asarray(points, np.float32)
         mask = np.asarray(mask, bool)
@@ -226,6 +240,13 @@ class Localizer:
         matched = float(info["matched_frac"])
         if matched > 0.15 and float(icp_info["fitness"]) > 0.2:
             self.ukf = ukf_correct(self.ukf, t, q, self.cfg.ukf)
+        # GNSS fusion: position-only correction weighted by fix variance
+        # (ref covariance-weighted LIO/GPS fusion, docs/slam.md:200-214)
+        if gps_xyz is not None:
+            from .ukf import ukf_correct_position
+            self.ukf = ukf_correct_position(
+                self.ukf, jnp.asarray(gps_xyz, jnp.float32),
+                jnp.asarray(gps_var, jnp.float32))
         T = np.asarray(ukf_pose(self.ukf), float)
 
         if np.linalg.norm(T[:3, 3] - self.map_center) > self.cfg.update_map_every:

@@ -132,3 +132,27 @@ def ukf_correct(st: UkfState, obs_pos: jax.Array, obs_quat: jax.Array,
 def ukf_pose(st: UkfState) -> jax.Array:
     from ..geometry import se3
     return se3.make_pose(so3.quat_to_matrix(st.x[6:10]), st.x[0:3])
+
+
+@jax.jit
+def ukf_correct_position(st: UkfState, obs_pos: jax.Array,
+                         r_pos: jax.Array) -> UkfState:
+    """Position-only observation (GNSS fix projected into the map frame).
+
+    r_pos is the measurement variance (m^2) — large for single-point
+    fixes, small for RTK.  Plays the reference's GPS branch of the
+    covariance-weighted LIO/GPS fusion (docs/slam.md:200-214 harmonic
+    mean; hdl_localization pose_estimator GPS observation)."""
+    cfg = UkfConfig()
+    pts, wm, wc = _sigma_points(st.x, st.P, cfg)
+    Z = pts[:, 0:3]
+    z_mean = jnp.einsum("i,ij->j", wm, Z)
+    dz = Z - z_mean[None, :]
+    dx = pts - st.x[None, :]
+    R = jnp.eye(3) * r_pos
+    S = jnp.einsum("i,ij,ik->jk", wc, dz, dz) + R
+    C = jnp.einsum("i,ij,ik->jk", wc, dx, dz)
+    K = jnp.linalg.solve(S.T, C.T).T
+    x_new = _normalize_quat(st.x + K @ (obs_pos - z_mean))
+    P_new = st.P - K @ S @ K.T + 1e-6 * jnp.eye(DIM)
+    return UkfState(x=x_new, P=0.5 * (P_new + P_new.T))

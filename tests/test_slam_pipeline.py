@@ -155,3 +155,37 @@ class TestLocalization:
         # error must plateau (tracking the map), not grow scan over scan
         last4 = np.asarray(errs[-4:])
         assert np.all(np.abs(np.diff(last4)) < 0.1), f"diverging: {errs}"
+
+
+@pytest.mark.slow
+class TestGpsFusion:
+    def test_gps_correction_pulls_position(self, mapping_run):
+        """A GNSS fix projected into the map frame must pull the UKF
+        estimate toward it (the reference's covariance-weighted LIO/GPS
+        fusion role)."""
+        import jax.numpy as jnp
+        from lsd_tpu.slam.ukf import (ukf_correct_position, ukf_init,
+                                      ukf_pose, ukf_predict)
+        T0 = np.eye(4, dtype=np.float32)
+        st = ukf_init(jnp.asarray(T0))
+        target = jnp.asarray([2.0, -1.0, 0.5])
+        # predict grows covariance; correction pulls toward the fix —
+        # the steady-state loop the tracking path actually runs
+        for _ in range(40):
+            st = ukf_predict(st, jnp.asarray(0.1, jnp.float32))
+            st = ukf_correct_position(st, target, jnp.asarray(0.25))
+        p = np.asarray(ukf_pose(st))[:3, 3]
+        assert np.linalg.norm(p - np.asarray(target)) < 0.3
+
+    def test_project_fix_uses_map_origin(self, mapping_run):
+        sim, mapper, gts, map_dir = mapping_run
+        loc = Localizer(map_dir, LocalizerConfig())
+        loc.origin = np.asarray([42.0, -83.0, 100.0])
+        # ~1.11 m north per 1e-5 deg latitude
+        xyz = loc.project_fix(42.00001, -83.0, 101.0)
+        assert xyz is not None
+        assert abs(xyz[1] - 1.11) < 0.1
+        assert abs(xyz[0]) < 0.1
+        assert abs(xyz[2] - 1.0) < 1e-6
+        loc.origin = None
+        assert loc.project_fix(42.0, -83.0) is None
