@@ -130,6 +130,15 @@ class SlamModule(Module):
         self.engine = None
         self.last_pose = np.eye(4)
         register_interface("slam.get_pose", lambda: self.last_pose.tolist())
+        register_interface("slam.get_timed_pose", self._get_timed_pose)
+
+    def _get_timed_pose(self, ts_us):
+        """High-rate pose between scans (ref slam.cpp getTimedPose)."""
+        if hasattr(self.engine, "get_timed_pose"):
+            T = self.engine.get_timed_pose(int(ts_us))
+            if T is not None:
+                return np.asarray(T).tolist()
+        return self.last_pose.tolist()
 
     def setup(self, cfg) -> None:
         from ..slam import (Localizer, LocalizerConfig, LioConfig, Mapper,

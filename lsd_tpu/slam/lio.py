@@ -281,6 +281,10 @@ def lio_step(cfg: LioConfig, st: LioState,
         mean_residual=stats[1] / jnp.maximum(stats[0], 1.0),
         n_degenerate=stats[2].astype(jnp.int32),
         pose=nav_new.pose_matrix(),
+        # per-IMU-sample propagated trajectory: the high-rate pose source
+        # (ref fastlio.cpp prediction:18-100 / slam.cpp getTimedPose)
+        imu_t=track["t"], imu_quat=track["quat"], imu_pos=track["pos"],
+        vel=nav_new.vel,
     )
     new_st = LioState(nav=nav_new, P=P_new, map=new_map, map_center=new_center,
                       initialized=jnp.full((), True),

@@ -84,6 +84,10 @@ class Mapper:
             None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
         pose = np.asarray(info["pose"], float)
         self.odometry.append((stamp_us, pose))
+        # lazy high-rate pose source (device arrays; fetched on demand)
+        self._track = dict(stamp_us=stamp_us, t=info["imu_t"],
+                           quat=info["imu_quat"], pos=info["imu_pos"],
+                           vel=info["vel"], end_pose=pose)
 
         is_kf = self.updater.is_update(pose)
         loop = None
@@ -234,3 +238,32 @@ class Mapper:
 
     def trajectory(self) -> np.ndarray:
         return np.stack([T for _, T in self.odometry]) if self.odometry else np.zeros((0, 4, 4))
+
+    def get_timed_pose(self, ts_us: int) -> Optional[np.ndarray]:
+        """High-rate pose between scans: interpolate the IMU-propagated
+        per-sample trajectory of the last scan, or extrapolate with the
+        filter velocity beyond it (ref slam.cpp getTimedPose ->
+        fastlio.cpp prediction:18-100)."""
+        tr = getattr(self, "_track", None)
+        if tr is None:
+            return None
+        t_rel = (int(ts_us) - tr["stamp_us"]) / 1e6
+        ts = np.asarray(tr["t"], float)
+        quat = np.asarray(tr["quat"], float)
+        pos = np.asarray(tr["pos"], float)
+        T = np.eye(4)
+        if len(ts) and t_rel <= float(ts[-1]):
+            i = int(np.searchsorted(ts, t_rel))
+            i = max(1, min(i, len(ts) - 1))
+            a = (t_rel - ts[i - 1]) / max(ts[i] - ts[i - 1], 1e-9)
+            a = float(np.clip(a, 0.0, 1.0))
+            q = quat[i - 1] * (1 - a) + quat[i] * a     # nlerp
+            q = q / max(np.linalg.norm(q), 1e-9)
+            T[:3, :3] = np_so3.quat_to_matrix(q)
+            T[:3, 3] = pos[i - 1] * (1 - a) + pos[i] * a
+        else:
+            # extrapolate past the last sample with the filter velocity
+            T = tr["end_pose"].copy()
+            dt = t_rel - (float(ts[-1]) if len(ts) else 0.0)
+            T[:3, 3] = T[:3, 3] + np.asarray(tr["vel"], float) * max(dt, 0.0)
+        return T

@@ -177,3 +177,36 @@ def test_lio_step_batch_matches_sequential():
     # final states agree
     assert np.linalg.norm(np.asarray(st_b.nav.pos) -
                           np.asarray(st_seq.nav.pos)) < 1e-2
+
+
+@pytest.mark.slow
+def test_get_timed_pose_interpolates_between_scans():
+    """High-rate pose (ref getTimedPose): interpolating the IMU-propagated
+    per-sample trajectory must land between consecutive scan poses."""
+    from lsd_tpu.slam import Mapper, MapperConfig
+    sim = CircleSim(SimConfig(radius=8.0, omega=0.8, n_scans=12,
+                              points_per_scan=4096, seed=4))
+    data = sim.generate(capacity=4096, imu_capacity=16)
+    R, p = sim.pose(0.0)
+    nav0 = init_state()._replace(
+        pos=jnp.asarray(p, jnp.float32),
+        quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+        vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+    m = Mapper(MapperConfig(lio=LioConfig(ds_capacity=2048,
+                                          map_capacity=2 ** 14,
+                                          scan_voxel=0.4, map_voxel=0.4)),
+               nav0=nav0)
+    poses = []
+    for k, (P_, S_, M_, I_, IM_, _T) in enumerate(data):
+        out = m.process_scan(P_, S_, M_, I_, IM_, stamp_us=int(k * 1e5))
+        poses.append(out["pose"])
+    # mid-scan query: between scan 10 end and scan 11 end
+    T_mid = m.get_timed_pose(int(11 * 1e5 + 5e4))
+    assert T_mid is not None
+    # position should be within the motion envelope around the last poses
+    d_prev = np.linalg.norm(T_mid[:3, 3] - poses[-1][:3, 3])
+    assert d_prev < 1.0, d_prev
+    # extrapolation beyond the track moves along the velocity
+    T_far = m.get_timed_pose(int(11 * 1e5 + 3e5))
+    assert np.linalg.norm(T_far[:3, 3] - poses[-1][:3, 3]) > \
+        np.linalg.norm(T_mid[:3, 3] - poses[-1][:3, 3]) * 0.5
