@@ -76,6 +76,9 @@ def get_lib() -> ctypes.CDLL:
             lib.lsd_udp_pop.restype = ctypes.c_int
             lib.lsd_udp_stats.argtypes = [ctypes.c_int, ctypes.c_void_p]
             lib.lsd_udp_stats.restype = ctypes.c_uint64
+            lib.lsd_udp_relay.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                          ctypes.c_uint16]
+            lib.lsd_udp_relay.restype = ctypes.c_int
             lib.lsd_decode_vlp16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                              ctypes.c_int, ctypes.c_uint32,
                                              ctypes.c_void_p, ctypes.c_int]
@@ -141,6 +144,7 @@ class UdpReceiver:
     def __init__(self, port: int, max_packet: int = _MAX_PACKET):
         self.lib = get_lib()
         self.max_packet = int(max_packet)
+        self.port = int(port)
         self.handle = self.lib.lsd_udp_open(port, self.max_packet)
         if self.handle < 0:
             raise OSError(f"failed to open UDP port {port}: {self.handle}")
@@ -156,6 +160,17 @@ class UdpReceiver:
         dropped = ctypes.c_uint64(0)
         received = self.lib.lsd_udp_stats(self.handle, ctypes.byref(dropped))
         return int(received), int(dropped.value)
+
+    def start_relay(self, dest_ip: str, dest_port: int) -> None:
+        """Mirror every received datagram to dest (the reference's
+        'package transfer', lidar_driver.cpp startPackageTransfer)."""
+        rc = self.lib.lsd_udp_relay(self.handle, dest_ip.encode(),
+                                    int(dest_port))
+        if rc != 0:
+            raise OSError(f"relay to {dest_ip}:{dest_port} failed ({rc})")
+
+    def stop_relay(self) -> None:
+        self.lib.lsd_udp_relay(self.handle, b"", 0)
 
     def close(self) -> None:
         if self.handle >= 0:

@@ -131,8 +131,24 @@ class LidarSource(Module):
                 range_min=float(lc.get("range_min", 0.5)),
                 range_max=float(lc.get("range_max", 150.0)),
                 exclude_box=lc.get("exclude_box")))
+        from .interface import register_interface
+        register_interface("lidar.start_package_transfer",
+                           self.start_package_transfer)
+        register_interface("lidar.stop_package_transfer",
+                           self.stop_package_transfer)
         self.logger.info("online lidar source: %d unit(s)",
                          len(self.units))
+
+    def start_package_transfer(self, dest: str) -> None:
+        """Mirror every sensor's raw packet stream to `dest` (same ports;
+        ref lidar_driver startPackageTransfer, used to feed a second
+        host's preview)."""
+        for u in self.units:
+            u.rx.start_relay(dest, u.rx.port)
+
+    def stop_package_transfer(self) -> None:
+        for u in self.units:
+            u.rx.stop_relay()
 
     def release(self) -> None:
         for u in self.units:

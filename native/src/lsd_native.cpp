@@ -40,6 +40,12 @@ struct Receiver {
   lsd::PacketRing ring;
   size_t max_packet;
   uint64_t received = 0;
+  // packet relay ("package transfer", ref lidar_driver.cpp:368-375):
+  // mirror every received datagram to a destination host
+  std::atomic<bool> relay_on{false};
+  std::mutex relay_mutex;
+  sockaddr_in relay_addr{};
+  int relay_fd = -1;
 };
 
 std::mutex g_mutex;
@@ -53,6 +59,14 @@ void recv_loop(Receiver* r) {
     if (n > 0) {
       r->ring.push(buf.data(), static_cast<size_t>(n));
       ++r->received;
+      if (r->relay_on.load(std::memory_order_relaxed)) {
+        std::lock_guard<std::mutex> lock(r->relay_mutex);
+        if (r->relay_fd >= 0) {
+          ::sendto(r->relay_fd, buf.data(), static_cast<size_t>(n), 0,
+                   reinterpret_cast<sockaddr*>(&r->relay_addr),
+                   sizeof(r->relay_addr));
+        }
+      }
     } else if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
       continue;  // timeout tick: re-check running flag
     }
@@ -114,6 +128,7 @@ void lsd_udp_close(int handle) {
   r->running = false;
   if (r->thread.joinable()) r->thread.join();
   ::close(r->fd);
+  if (r->relay_fd >= 0) ::close(r->relay_fd);
   delete r;
 }
 
@@ -124,6 +139,40 @@ int lsd_udp_pop(int handle, uint8_t* out, uint32_t* lens, int max_packets) {
   if (it == g_receivers.end()) return -1;
   return static_cast<int>(it->second->ring.pop(out, lens,
                                                static_cast<size_t>(max_packets)));
+}
+
+// Start/stop mirroring received datagrams to dest_ip:dest_port
+// (ref LidarDriver::startPackageTransfer / stopPackageTransfer,
+// lidar_driver.cpp:368-375).  Returns 0 on success.
+int lsd_udp_relay(int handle, const char* dest_ip, uint16_t dest_port) {
+  Receiver* r = nullptr;
+  {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    auto it = g_receivers.find(handle);
+    if (it == g_receivers.end()) return -1;
+    r = it->second;
+  }
+  if (dest_ip == nullptr || dest_ip[0] == '\0') {   // stop
+    r->relay_on = false;
+    std::lock_guard<std::mutex> lock(r->relay_mutex);
+    if (r->relay_fd >= 0) ::close(r->relay_fd);
+    r->relay_fd = -1;
+    return 0;
+  }
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(dest_port);
+  if (::inet_pton(AF_INET, dest_ip, &addr.sin_addr) != 1) return -2;
+  int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -3;
+  {
+    std::lock_guard<std::mutex> lock(r->relay_mutex);
+    if (r->relay_fd >= 0) ::close(r->relay_fd);
+    r->relay_fd = fd;
+    r->relay_addr = addr;
+  }
+  r->relay_on = true;
+  return 0;
 }
 
 uint64_t lsd_udp_stats(int handle, uint64_t* dropped) {

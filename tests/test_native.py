@@ -389,3 +389,38 @@ class TestNewDecoders:
                     "Ouster-OS1", "Ouster-OS1-128", "Ouster-OS2-128",
                     "Ouster-OS1-128-v3", "Custom"}
         assert expected <= set(native.DECODERS)
+
+
+class TestPacketRelay:
+    def test_relay_mirrors_datagrams(self):
+        """Package transfer (ref lidar_driver.cpp:368-375): every datagram
+        received on A is forwarded to the configured destination."""
+        import socket
+        import time
+        from lsd_tpu import native
+        rx_a = native.UdpReceiver(28897)
+        rx_b = native.UdpReceiver(28898)
+        try:
+            rx_a.start_relay("127.0.0.1", 28898)
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            payload = b"\xde\xad\xbe\xef" * 10
+            deadline = time.time() + 5.0
+            got = None
+            while time.time() < deadline and got is None:
+                tx.sendto(payload, ("127.0.0.1", 28897))
+                time.sleep(0.02)
+                pk, lens = rx_b.pop(8)
+                if len(lens):
+                    got = bytes(pk[0][: lens[0]])
+            assert got == payload
+            # stop: no further mirroring
+            rx_a.stop_relay()
+            while rx_b.pop(64)[1].size:
+                pass
+            tx.sendto(payload, ("127.0.0.1", 28897))
+            time.sleep(0.2)
+            _, lens = rx_b.pop(8)
+            assert len(lens) == 0
+        finally:
+            rx_a.close()
+            rx_b.close()
