@@ -122,14 +122,24 @@ def _build_gn_round(mesh: Mesh, cfg: PgoConfig, n: int):
         b = b.at[gps.idx, 3:].add(wg * r_g)
         b = -b * free
 
-        # Jacobi preconditioner from block diagonals
-        contrib = jnp.sum(J ** 2, axis=1)                   # (Es, 12)
-        diag = jnp.zeros((n, 6), jnp.float32)
-        diag = diag.at[gi[:, 0]].add(contrib[:, :6])
-        diag = diag.at[gi[:, 1]].add(contrib[:, 6:])
-        diag = jax.lax.psum(diag, axis)
-        diag = diag.at[gps.idx, 3:].add(wg ** 2)
-        Minv = 1.0 / jnp.maximum(diag * free + cfg.damping, 1e-8)
+        # block-Jacobi preconditioner: psum-reduced per-node 6x6 blocks
+        # (matches the single-device solver's preconditioner so sharded
+        # and local runs take identical CG trajectories)
+        blocks = jnp.tile(cfg.damping * jnp.eye(6, dtype=jnp.float32),
+                          (n, 1, 1)) / mesh.devices.size
+        Bi = jnp.einsum("eij,eik->ejk", J[:, :, :6], J[:, :, :6])
+        Bj = jnp.einsum("eij,eik->ejk", J[:, :, 6:], J[:, :, 6:])
+        blocks = blocks.at[gi[:, 0]].add(Bi)
+        blocks = blocks.at[gi[:, 1]].add(Bj)
+        blocks = jax.lax.psum(blocks, axis)
+        gw2 = jnp.broadcast_to(wg ** 2, (gps.idx.shape[0], 3))
+        blocks = blocks.at[gps.idx, 3, 3].add(gw2[:, 0])
+        blocks = blocks.at[gps.idx, 4, 4].add(gw2[:, 1])
+        blocks = blocks.at[gps.idx, 5, 5].add(gw2[:, 2])
+        Binv = jnp.linalg.inv(blocks)
+
+        def precond(rr):
+            return jnp.einsum("nij,nj->ni", Binv, rr) * free
 
         def cg_step(state, _):
             x, rr, z, p = state
@@ -138,11 +148,11 @@ def _build_gn_round(mesh: Mesh, cfg: PgoConfig, n: int):
             alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-12)
             x = x + alpha * p
             r_new = rr - alpha * Ap
-            z_new = r_new * Minv
+            z_new = precond(r_new)
             beta = jnp.vdot(r_new, z_new) / jnp.maximum(rz, 1e-12)
             return (x, r_new, z_new, p * beta + z_new), None
 
-        z0 = b * Minv
+        z0 = precond(b)
         (dx, *_), _ = jax.lax.scan(cg_step, (jnp.zeros_like(b), b, z0, z0),
                                    None, length=cfg.cg_iters)
         dx = dx * free

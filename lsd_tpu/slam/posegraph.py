@@ -279,14 +279,29 @@ def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
         b = b.at[oi].add(jnp.einsum("eij,ei->ej", J_or, r_or))
         b = -b * free
 
-        diag = jnp.zeros((n, 6), jnp.float32)
-        c = jnp.sum(J_se3 ** 2, axis=1)
-        diag = diag.at[gi[:, 0]].add(c[:, :6])
-        diag = diag.at[gi[:, 1]].add(c[:, 6:])
-        diag = diag.at[pi, 3:].add(w_gps ** 2)
-        diag = diag.at[fi].add(jnp.sum(J_fl ** 2, axis=1))
-        diag = diag.at[oi].add(jnp.sum(J_or ** 2, axis=1))
-        Minv = 1.0 / jnp.maximum(diag * free + cfg.damping, 1e-8)
+        # block-Jacobi preconditioner: per-node 6x6 diagonal blocks of
+        # J^T J (tighter than the scalar diagonal — rotation/translation
+        # coupling within a node is captured, so CG needs fewer
+        # iterations for the same accuracy)
+        blocks = jnp.tile(cfg.damping * jnp.eye(6, dtype=jnp.float32),
+                          (n, 1, 1))
+        Bi = jnp.einsum("eij,eik->ejk", J_se3[:, :, :6], J_se3[:, :, :6])
+        Bj = jnp.einsum("eij,eik->ejk", J_se3[:, :, 6:], J_se3[:, :, 6:])
+        blocks = blocks.at[gi[:, 0]].add(Bi)
+        blocks = blocks.at[gi[:, 1]].add(Bj)
+        gps_w2 = jnp.broadcast_to(w_gps ** 2, (pi.shape[0], 3))
+        blocks = blocks.at[pi, 3, 3].add(gps_w2[:, 0])
+        blocks = blocks.at[pi, 4, 4].add(gps_w2[:, 1])
+        blocks = blocks.at[pi, 5, 5].add(gps_w2[:, 2])
+        blocks = blocks.at[fi].add(
+            jnp.einsum("eij,eik->ejk", J_fl, J_fl))
+        blocks = blocks.at[oi].add(
+            jnp.einsum("eij,eik->ejk", J_or, J_or))
+        Binv = jnp.linalg.inv(blocks)
+
+        def precond(r):
+            z = jnp.einsum("nij,nj->ni", Binv, r)
+            return z * free
 
         def cg_step(state, _):
             x, r, z, p = state
@@ -295,11 +310,11 @@ def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
             alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-12)
             x = x + alpha * p
             r_new = r - alpha * Ap
-            z_new = r_new * Minv
+            z_new = precond(r_new)
             beta = jnp.vdot(r_new, z_new) / jnp.maximum(rz, 1e-12)
             return (x, r_new, z_new, p * beta + z_new), None
 
-        z0 = b * Minv
+        z0 = precond(b)
         (dx, *_), _ = jax.lax.scan(cg_step, (jnp.zeros_like(b), b, z0, z0),
                                    None, length=cfg.cg_iters)
         dx = dx * free
