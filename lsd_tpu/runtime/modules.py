@@ -391,6 +391,14 @@ class FrameSinkModule(Module):
 
     def start_record(self) -> None:
         self.enabled = True
+        # journal snapshot beside the recording for post-mortem
+        # (ref frame_sink.py:90-94 journalctl/dmesg capture)
+        try:
+            from ..utils.system import capture_journal
+            if self.recorder.log_dir:
+                capture_journal(self.recorder.log_dir)
+        except Exception:
+            pass
 
     def stop_record(self) -> None:
         self.enabled = False

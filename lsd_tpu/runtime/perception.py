@@ -35,6 +35,12 @@ class Perception:
     def __init__(self, config_path: Optional[str] = None,
                  registry: Optional[Dict] = None):
         self.logger = get_logger("perception")
+        # fatal-signal tracebacks + best-effort priority, like the
+        # reference boot (perception.py:19 init_backtrace_handle +
+        # set_thread_priority)
+        from ..utils.system import init_backtrace_handle, set_thread_priority
+        init_backtrace_handle()
+        set_thread_priority()
         self.config_manager = ConfigManager(config_path)
         self.registry = registry or DEFAULT_REGISTRY
         self.module_manager: Optional[ModuleManager] = None

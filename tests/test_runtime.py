@@ -263,3 +263,16 @@ def test_player_status_interface(tmp_path):
     st = call_interface("player.get_status")
     assert 40.0 <= st["percent"] <= 60.0
     clear_interfaces()
+
+
+def test_system_utils(tmp_path):
+    from lsd_tpu.utils.system import (capture_journal, init_backtrace_handle,
+                                      set_thread_priority)
+    import faulthandler
+    init_backtrace_handle()
+    assert faulthandler.is_enabled()
+    # best-effort: must not raise regardless of privileges
+    set_thread_priority(nice_delta=0)
+    out = capture_journal(str(tmp_path))
+    if out is not None:
+        assert (tmp_path / "journal.txt").exists()
