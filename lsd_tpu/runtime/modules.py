@@ -234,11 +234,22 @@ class SlamModule(Module):
                 imu_rel[:, 0] = (imu_rel[:, 0] - frame.scan.timestamp) / 1e6
             # INS -> GPS prior + map origin + velocity observation
             # (ref slam.cpp feedInsData -> enqueue_graph_gps +
-            # wheelspeed observation laserMapping.cpp:794-812)
+            # wheelspeed observation laserMapping.cpp:794-812), gated by
+            # the status priority/stable-time state machine
+            # (slam.cpp preprocessInsData:194-268)
             gps_xyz = vel_obs = vel_obs_valid = None
             ins = d.get("ins_data") or {}
-            if d.get("ins_valid") and ins.get("latitude") \
-                    and int(ins.get("Status", 0)) != 0:
+            accepted = False
+            if ins:
+                if not hasattr(self, "_ins_sm"):
+                    from ..sensors.ins_status import InsStatusMachine
+                    self._ins_sm = InsStatusMachine()
+                prio = self._ins_sm.update(
+                    ts / 1e6, int(ins.get("Status", 0)),
+                    float(ins.get("latitude", 0.0) or 0.0),
+                    float(ins.get("longitude", 0.0) or 0.0))
+                accepted = prio >= 0
+            if d.get("ins_valid") and ins.get("latitude") and accepted:
                 from ..geometry.utm import UTMProjector
                 if not hasattr(self, "_proj"):
                     self._proj = UTMProjector()

@@ -59,17 +59,21 @@ def test_runtime_wires_ins_into_gps_priors():
     m = SlamModule(cfg)
     m.setup(cfg)
     rng = np.random.default_rng(2)
-    for k in range(6):
-        d = make_frame_dict(ts=1_000_000 + k * 100_000, n=2048)
+    # RTK-fixed status (42) upgrades after its 1 s stable_time
+    # (sensors/ins_status.py state machine)
+    for k in range(12):
+        d = make_frame_dict(ts=1_000_000 + k * 200_000, n=2048)
         d["points"]["0-Ouster-OS1"] = (
             rng.normal(size=(2048, 4)) * [10, 10, 2, 1]).astype(np.float32)
-        d["ins_data"]["Status"] = 1
+        d["ins_data"]["Status"] = 42
         # ~1.1 m north per 1e-5 deg latitude
         d["ins_data"]["latitude"] = 42.0 + k * 2e-5
         m.process(d)
     eng = m.engine
     assert eng.origin_lla is not None
-    np.testing.assert_allclose(eng.origin_lla[:2], [42.0, -83.0])
+    # the anchor is the FIRST TRUSTED fix (after the stable-time
+    # upgrade), slightly north of the very first sample
+    np.testing.assert_allclose(eng.origin_lla[:2], [42.0, -83.0], atol=3e-4)
     assert len(eng.graph.gps) >= 1           # priors attached to keyframes
     # prior positions follow the northward motion
     xyz = np.stack([g[1] for g in eng.graph.gps])

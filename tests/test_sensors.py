@@ -127,3 +127,39 @@ class TestCanBus:
         assert (0x60B, b"\xaa\xbb") in frames
         rx.close()
         tx.close()
+
+
+class TestInsStatusMachine:
+    """Priority/stable-time INS quality gating (ref slam.cpp
+    preprocessInsData:194-268)."""
+
+    def make(self):
+        from lsd_tpu.sensors.ins_status import InsStatusMachine
+        return InsStatusMachine()
+
+    def test_upgrade_requires_stable_time(self):
+        sm = self.make()
+        # single fix (prio 0) accepted only after 10 s of stability
+        assert sm.update(0.0, 1) == -1      # starts the clock
+        assert sm.update(5.0, 1) == -1
+        assert sm.update(10.5, 1) == 0      # stable long enough
+        # upgrade to rtk_fix needs 1 s at the new status
+        assert sm.update(11.0, 42) == 0     # still the old priority
+        assert sm.update(12.1, 42) == 2
+
+    def test_downgrade_is_immediate(self):
+        sm = self.make()
+        sm.update(0.0, 42)
+        sm.update(2.0, 42)
+        assert sm.update(3.5, 42) == 2
+        assert sm.update(4.0, 52) == 1      # fix -> float: instant
+        assert sm.state_name == "rtk_float"
+
+    def test_lost_fix_invalidates_after_1s(self):
+        sm = self.make()
+        sm.update(0.0, 42)
+        assert sm.update(1.5, 42) == 2
+        assert sm.update(1.6, 0, latitude=0.0, longitude=0.0) == -1
+        assert sm.last_priority == 2        # < 1 s: state retained
+        assert sm.update(3.0, 0, latitude=0.0, longitude=0.0) == -1
+        assert sm.last_priority == -1       # >= 1 s: invalidated
