@@ -56,6 +56,7 @@ def test_runtime_wires_ins_into_gps_priors():
 
     clear_interfaces()
     cfg = ConfigManager().config
+    cfg["slam"]["key_frames_interval"] = [0.0, 0.0]   # keyframe every frame
     m = SlamModule(cfg)
     m.setup(cfg)
     rng = np.random.default_rng(2)
