@@ -12,7 +12,6 @@ from typing import Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry import so3
 from ..geometry import np_so3
 from ..slam.imu import rot_between
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import so3
-from ..ops.hashmap import VoxelHashMap, _probe_find, _slot_hash, _content_key, hashmap_knn
+from ..ops.hashmap import _probe_find, _slot_hash, _content_key, hashmap_knn
 from ..ops.planefit import fit_planes
 
 
