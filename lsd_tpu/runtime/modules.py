@@ -155,7 +155,8 @@ class SlamModule(Module):
             # set (slam/slam.py:27-47 register_interface list + the
             # slam_manager save/progress interfaces)
             from ..slam.map_editor import MapEditor
-            ed = MapEditor(self.engine)
+            ed = MapEditor(self.engine,
+                           camera_params=self._camera_params(cfg))
             self.editor = ed
             register_interface("slam.get_status", ed.get_status)
             register_interface("slam.get_vertex_poses", ed.get_pose)
@@ -190,6 +191,25 @@ class SlamModule(Module):
                                    float(pr[1][0]), float(pr[1][1])))
             register_interface("slam.get_status",
                                lambda: dict(initialized=eng.initialized))
+
+    @staticmethod
+    def _camera_params(cfg) -> Dict:
+        """Per-camera K + T_cam_from_lidar from the config (reference
+        extrinsic_parameters convention) for map colouration."""
+        out: Dict = {}
+        for cam in getattr(cfg, "camera", None) or []:
+            intr = cam.get("intrinsic_parameters")
+            extr = cam.get("extrinsic_parameters")
+            name = cam.get("name")
+            if not (name and intr and extr and len(intr) >= 4):
+                continue
+            from ..calibration.service import cfg_to_transform
+            K = np.asarray([[intr[0], 0, intr[2]],
+                            [0, intr[1], intr[3]], [0, 0, 1.0]])
+            T = np.linalg.inv(cfg_to_transform(
+                *[float(v) for v in extr][:6]))
+            out[str(name)] = dict(K=K, T_cam_from_lidar=T)
+        return out
 
     def _set_init_pose(self, p) -> None:
         """Accepts a 4x4 pose or the reference's 6-element pose_range."""

@@ -42,8 +42,12 @@ def point_in_polygon(x: float, y: float, poly: np.ndarray) -> bool:
 
 
 class MapEditor:
-    def __init__(self, mapper):
+    def __init__(self, mapper, camera_params: Optional[Dict] = None):
+        """camera_params: {name: {"K": (3,3), "T_cam_from_lidar": (4,4)}}
+        — enables true RGB colouration in get_color_map/export when
+        keyframes carry that camera's images."""
         self.mapper = mapper
+        self.camera_params = camera_params or {}
         self.meta: Dict = {"area": {}}
         self._color_map_bytes = b""
         self._export_cfg = dict(z_min=-1e9, z_max=1e9, color=False)
@@ -106,6 +110,7 @@ class MapEditor:
         m = self.mapper
         clouds = []
         zmin, zmax = self._export_cfg["z_min"], self._export_cfg["z_max"]
+        do_color = bool(self._export_cfg["color"]) and self.camera_params
         for kf in m.store.frames:
             pts = kf.cloud
             world = pts[:, :3] @ kf.pose[:3, :3].T.astype(np.float32) \
@@ -113,6 +118,10 @@ class MapEditor:
             keep = (world[:, 2] >= zmin) & (world[:, 2] <= zmax)
             attr = pts[:, 3:4] if pts.shape[1] >= 4 else \
                 np.zeros((len(pts), 1), np.float32)
+            if do_color:
+                rgb = self._colorize_keyframe(kf)
+                if rgb is not None:
+                    attr = rgb[:, None]
             clouds.append(np.concatenate([world[keep],
                                           attr[keep]], axis=1))
         if not clouds:
@@ -121,6 +130,32 @@ class MapEditor:
         if len(out) > max_points:
             out = out[:: len(out) // max_points + 1]
         return out
+
+    def _colorize_keyframe(self, kf) -> Optional[np.ndarray]:
+        """Per-point packed-RGB attr from the keyframe's camera images
+        (ref map colouration -> LidarPointcloud type 'rgb'; the packed
+        uint32 R<<16|G<<8|B bit pattern viewed as float32, the format
+        the reference UI decodes)."""
+        try:
+            import cv2
+        except ImportError:
+            return None
+        from .map_render import colorize_cloud
+        for name, cam in self.camera_params.items():
+            jpeg = kf.images.get(name)
+            if not isinstance(jpeg, (bytes, bytearray)):
+                continue
+            img = cv2.imdecode(np.frombuffer(bytes(jpeg), np.uint8), 1)
+            if img is None:
+                continue
+            rgb, valid = colorize_cloud(kf.cloud[:, :3], img,
+                                        np.asarray(cam["K"], float),
+                                        np.asarray(cam["T_cam_from_lidar"],
+                                                   float))
+            rgb8 = np.clip(rgb * 255.0, 0, 255).astype(np.uint32)
+            packed = (rgb8[:, 0] << 16) | (rgb8[:, 1] << 8) | rgb8[:, 2]
+            return np.where(valid, packed.view(np.float32), 0.0)
+        return None
 
     # --- vertex / edge / point CRUD --------------------------------------
     def del_vertex(self, vid) -> None:

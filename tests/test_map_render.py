@@ -55,3 +55,56 @@ class TestColorize:
         pts = open(os.path.join(out, "points3D.txt")).read().splitlines()
         assert len([l for l in pts if not l.startswith("#")]) == 2
         assert os.path.exists(os.path.join(out, "images", "000000.jpg"))
+
+
+def test_editor_rgb_color_map():
+    """get_color_map packs true RGB when camera params + keyframe images
+    exist and export color is enabled."""
+    import cv2
+    import numpy as np
+    from lsd_tpu.slam.map_editor import MapEditor
+
+    class FakeKf:
+        def __init__(self):
+            # points 5 m ahead of a camera looking down +x (lidar frame)
+            self.cloud = np.asarray([[5.0, 0.0, 0.0, 0.5],
+                                     [5.0, 0.5, 0.0, 0.5]], np.float32)
+            self.pose = np.eye(4)
+            self.stamp_us = 0
+            img = np.zeros((240, 320, 3), np.uint8)
+            img[:, :, 2] = 255      # pure red (BGR)
+            ok, buf = cv2.imencode(".jpg", img)
+            self.images = {"front": buf.tobytes()}
+
+    class FakeGraph:
+        se3 = []
+        fixed = [True]
+
+    class FakeMapper:
+        def __init__(self):
+            self.store = type("S", (), {"frames": [FakeKf()]})()
+            self.graph = FakeGraph()
+            self.loops = []
+            self.origin_lla = None
+            self.updater = type("U", (), {"accum_distance": 0.0})()
+            class Cfg: use_floor_prior = False
+            self.cfg = Cfg()
+
+    # camera at origin looking along lidar +x: standard cam axes
+    # (z forward) via axis permutation
+    T = np.zeros((4, 4)); T[3, 3] = 1
+    T[0, 1] = -1.0   # cam x = -lidar y
+    T[1, 2] = -1.0   # cam y = -lidar z
+    T[2, 0] = 1.0    # cam z =  lidar x
+    K = np.asarray([[200.0, 0, 160], [0, 200.0, 120], [0, 0, 1]])
+    ed = MapEditor(FakeMapper(),
+                   camera_params={"front": dict(K=K, T_cam_from_lidar=T)})
+    ed.set_export_map_config(-100, 100, True)
+    blob = ed.get_color_map()
+    from lsd_tpu.proto.internal import parse_pointcloud_map
+    msg = parse_pointcloud_map(blob)
+    assert msg["lp"][0]["type"] == "rgb"
+    attr = np.frombuffer(msg["lp"][0]["attr"], np.float32)
+    packed = attr.view(np.uint32)
+    r = (packed >> 16) & 0xFF
+    assert (r > 200).all(), r   # red image -> red points
