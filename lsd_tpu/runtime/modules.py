@@ -332,7 +332,7 @@ class SlamModule(Module):
 
 
 def build_detector_predict_fn(weights: Optional[str] = None,
-                              det_cfg=None):
+                              det_cfg=None, with_seg: bool = False):
     """Build a jitted (points, mask) -> (boxes, scores, labels, keep)
     function from the flax CenterPoint detector (+ optional msgpack
     weights + postprocess NMS)."""
@@ -358,9 +358,12 @@ def build_detector_predict_fn(weights: Optional[str] = None,
     def predict(p, points, mask):
         preds = model.apply(p, points[:, :4], mask)
         boxes, scores, labels, bmask = model.decode(preds)
-        return postprocess(pcfg, boxes, scores, labels, bmask)
+        out = postprocess(pcfg, boxes, scores, labels, bmask)
+        return out + (preds["seg"],)
 
-    return lambda points, mask: predict(params, points, mask)
+    if with_seg:
+        return lambda points, mask: predict(params, points, mask)
+    return lambda points, mask: predict(params, points, mask)[:4]
 
 
 class DetectModule(Module):
@@ -377,12 +380,22 @@ class DetectModule(Module):
         from ..detection import ObjectFilter, Tracker3D, TrackerConfig
         self.tracker = Tracker3D(TrackerConfig())
         self.obj_filter = ObjectFilter()
+        # multi-frame motion-compensated accumulation (ref
+        # preprocess_kernel.cu A-B buffers; detection_object.yaml 2-frame)
+        from ..detection.accumulate import FrameAccumulator
+        n_acc = int(getattr(cfg.detection, "accum_frames", 2) or 1)
+        self.accumulator = FrameAccumulator(num_frames=n_acc) \
+            if n_acc > 1 else None
+        self.det_cfg_ref = None
         # model weights are optional at runtime; predict_fn may be injected
         # (ref: dummy_engine fallback when TRT is absent)
         if bool(getattr(cfg.detection, "enable", False)):
             try:
+                from ..models import DetectorConfig
+                self.det_cfg_ref = DetectorConfig()
                 self.predict_fn = build_detector_predict_fn(
-                    weights=getattr(cfg.detection, "weights", None))
+                    weights=getattr(cfg.detection, "weights", None),
+                    det_cfg=self.det_cfg_ref, with_seg=True)
             except Exception as e:  # model load failure degrades gracefully
                 self.logger.warning("detector unavailable: %s", e)
 
@@ -395,8 +408,21 @@ class DetectModule(Module):
         if frame.scan is None or self.predict_fn is None:
             d.setdefault("objects", [])
             return d
-        boxes, scores, labels, bmask = self.predict_fn(frame.scan.points,
-                                                       frame.scan.mask)
+        pts, msk = frame.scan.points, frame.scan.mask
+        if self.accumulator is not None:
+            if self.accumulator.cap != pts.shape[0]:
+                self.accumulator = type(self.accumulator)(
+                    num_frames=self.accumulator.num_frames,
+                    capacity_per_frame=pts.shape[0])
+            pts, msk = self.accumulator.push(
+                pts, msk, motion=frame.motion if frame.motion_valid else None)
+        out_t = self.predict_fn(pts, msk)
+        boxes, scores, labels, bmask = out_t[:4]
+        if len(out_t) > 4 and self.det_cfg_ref is not None:
+            from ..detection.freespace import seg_to_freespace
+            d["freespace"] = seg_to_freespace(
+                np.asarray(out_t[4]), self.det_cfg_ref.pc_range,
+                self.det_cfg_ref.voxel_size[0])
         keep = np.asarray(bmask)
         out = self.tracker.update(np.asarray(boxes)[keep],
                                   np.asarray(scores)[keep],
@@ -542,6 +568,7 @@ class HttpSinkModule(Module):
                 timestamp=d.get("frame_timestamp_monotonic", 0),
                 objects=d.get("objects", []),
                 radar=d.get("radar"),
+                freespace=d.get("freespace"),
                 fps=self.fps.fps), include_points=False)
             with self._lock:
                 self.latest = payload

@@ -65,3 +65,43 @@ class TestDetectPipeline:
         mm.stop()
         assert got is not None and "objects" in got
         assert isinstance(got["objects"], list)   # untrained: likely empty
+
+
+def test_detect_module_accumulates_and_emits_freespace():
+    """Multi-frame accumulation doubles the point budget (motion
+    compensated) and the seg head surfaces as a freespace grid."""
+    import numpy as np
+    from lsd_tpu.runtime import clear_interfaces
+    from lsd_tpu.runtime.config import ConfigManager
+    from lsd_tpu.runtime.modules import DetectModule
+    from tests.test_io import make_frame_dict
+    clear_interfaces()
+    cfg = ConfigManager().config
+    cfg["detection"]["enable"] = False       # inject a fake model instead
+    m = DetectModule(cfg)
+    m.setup(cfg)
+    assert m.accumulator is not None and m.accumulator.num_frames == 2
+
+    seen = {}
+
+    def fake_predict(points, mask):
+        seen["n"] = points.shape[0]
+        seen["cols"] = points.shape[1]
+        boxes = np.zeros((4, 7), np.float32)
+        return (boxes, np.zeros(4, np.float32), np.zeros(4, np.int64),
+                np.zeros(4, bool), np.zeros((16, 16), np.float32))
+    m.set_model(fake_predict)
+    from lsd_tpu.models import DetectorConfig
+    m.det_cfg_ref = DetectorConfig()
+
+    d1 = make_frame_dict(ts=1_000_000, n=256)
+    d1 = m.process(d1)
+    cap = seen["n"] // 2
+    d2 = make_frame_dict(ts=1_100_000, n=256)
+    d2 = m.process(d2)
+    assert seen["n"] == 2 * cap              # two frames accumulated
+    assert seen["cols"] == 5                 # 5th column = frame lag
+    assert "freespace" in d2
+    fs = d2["freespace"]
+    assert fs["x_num"] > 0 and len(fs["cells"]) == fs["x_num"] * fs["y_num"]
+    clear_interfaces()
