@@ -69,6 +69,11 @@ class Mapper:
         self.loops: List[Tuple[int, int]] = []
         self.origin_lla: Optional[np.ndarray] = None
         self._kf_since_opt = 0
+        # map-frame correction of the raw LIO odometry, refreshed on every
+        # graph optimization and composed into every published pose
+        # (ref: hdl_graph_slam_nodelet.cpp:600-651 trans_odom2map broadcast,
+        # applied at :287 when publishing)
+        self.odom2map = np.eye(4)
 
     # ------------------------------------------------------------------
     def process_scan(self, points, stamps, mask, imu, imu_mask,
@@ -82,22 +87,27 @@ class Mapper:
             jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
             None if vel_obs is None else jnp.asarray(vel_obs),
             None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
-        pose = np.asarray(info["pose"], float)
-        self.odometry.append((stamp_us, pose))
+        odom_pose = np.asarray(info["pose"], float)
         # lazy high-rate pose source (device arrays; fetched on demand)
         self._track = dict(stamp_us=stamp_us, t=info["imu_t"],
                            quat=info["imu_quat"], pos=info["imu_pos"],
-                           vel=info["vel"], end_pose=pose)
+                           vel=info["vel"], end_pose=odom_pose)
 
-        is_kf = self.updater.is_update(pose)
+        is_kf = self.updater.is_update(odom_pose)
         loop = None
         if is_kf:
-            loop = self._add_keyframe(points, mask, pose, stamp_us, gps_xyz,
-                                      images=images)
-        return dict(pose=pose, is_keyframe=is_kf, loop=loop, info=info)
+            loop = self._add_keyframe(points, mask, odom_pose, stamp_us,
+                                      gps_xyz, images=images)
+        # publish in the map frame: graph corrections (loop closures, GPS)
+        # snap the live pose, not just the stored keyframes
+        pose = self.odom2map @ odom_pose
+        self.odometry.append((stamp_us, pose))
+        return dict(pose=pose, odom=odom_pose, is_keyframe=is_kf, loop=loop,
+                    info=info)
 
     # ------------------------------------------------------------------
-    def _add_keyframe(self, points, mask, pose, stamp_us, gps_xyz, images=None):
+    def _add_keyframe(self, points, mask, odom_pose, stamp_us, gps_xyz,
+                      images=None):
         cfg = self.cfg
         pts4 = np.asarray(points, np.float32)
         if pts4.shape[1] == 3:
@@ -106,7 +116,12 @@ class Mapper:
                                        cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
         cloud = np.asarray(ds)[np.asarray(ds_mask)]
 
-        kf = Keyframe(id=-1, stamp_us=stamp_us, pose=pose.copy(), odom=pose.copy(),
+        # node enters the graph in the map frame so it is consistent with
+        # already-optimized neighbours (ref hdl_graph_slam flush_keyframe_queue
+        # odom2map * keyframe->odom)
+        pose = self.odom2map @ odom_pose
+        kf = Keyframe(id=-1, stamp_us=stamp_us, pose=pose.copy(),
+                      odom=odom_pose.copy(),
                       cloud=cloud, images=dict(images or {}),
                       accum_distance=self.updater.accum_distance)
         kid = self.store.add(kf)
@@ -218,6 +233,11 @@ class Mapper:
         for i in range(self.graph.num_nodes):
             self.store.frames[i].pose = self.graph.node_pose(i).astype(float)
         self._kf_since_opt = 0
+        # refresh the odometry->map correction from the newest keyframe
+        # (ref hdl_graph_slam_nodelet.cpp:600-651: trans_odom2map =
+        # keyframe->node->estimate() * keyframe->odom.inverse())
+        last = self.store.frames[-1]
+        self.odom2map = last.pose @ np.linalg.inv(last.odom)
 
     # ------------------------------------------------------------------
     def save(self, map_dir: str) -> str:
@@ -243,7 +263,8 @@ class Mapper:
         """High-rate pose between scans: interpolate the IMU-propagated
         per-sample trajectory of the last scan, or extrapolate with the
         filter velocity beyond it (ref slam.cpp getTimedPose ->
-        fastlio.cpp prediction:18-100)."""
+        fastlio.cpp prediction:18-100). Returned in the map frame
+        (odom2map-composed)."""
         tr = getattr(self, "_track", None)
         if tr is None:
             return None
@@ -252,7 +273,7 @@ class Mapper:
         quat = np.asarray(tr["quat"], float)
         pos = np.asarray(tr["pos"], float)
         T = np.eye(4)
-        if len(ts) and t_rel <= float(ts[-1]):
+        if len(ts) >= 2 and t_rel <= float(ts[-1]):
             i = int(np.searchsorted(ts, t_rel))
             i = max(1, min(i, len(ts) - 1))
             a = (t_rel - ts[i - 1]) / max(ts[i] - ts[i - 1], 1e-9)
@@ -266,4 +287,4 @@ class Mapper:
             T = tr["end_pose"].copy()
             dt = t_rel - (float(ts[-1]) if len(ts) else 0.0)
             T[:3, 3] = T[:3, 3] + np.asarray(tr["vel"], float) * max(dt, 0.0)
-        return T
+        return self.odom2map @ T
