@@ -5,22 +5,88 @@ Runs the full jit-compiled ESIKF LIO scan step (IMU propagation +
 undistortion + downsample + 3 iterated kNN/plane-fit/KF updates + map
 insert) on synthetic 32k-point scans and reports steady-state throughput.
 
-Baseline: the reference's FAST-LIO2 C++ stack processes comparable scans at
-roughly 50 scans/s on a desktop CPU (FAST-LIO2 paper reports ~20 ms/scan;
-the reference itself publishes no scans/s — see BASELINE.md).
-``vs_baseline`` is measured scans/s divided by that 50 scans/s estimate;
-BASELINE.json's round target is >= 2x.
+Baseline: the REFERENCE FAST-LIO2 C++ stack itself, compiled unmodified
+from /root/reference/slam/mapping/fastlio (see baseline_ref/) and timed on
+this host over an identical 32k-point replay (same simulated world, same
+IMU).  ``vs_baseline`` = TPU scans/s / measured reference scans/s.  If the
+reference build/run is unavailable, falls back to the FAST-LIO2-paper
+estimate of 50 scans/s (~20 ms/scan on a desktop CPU) and flags it.
 
 Prints exactly one JSON line.
 """
 import json
+import os
+import subprocess
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def measure_reference_baseline():
+    """Build + run the reference FAST-LIO2 on an identical replay; cache
+    the measurement (it is wall-clock CPU work, ~25 s + one-time ~3 min
+    compile).  Returns dict or None."""
+    cache = os.path.join(REPO, "baseline_ref", "measured_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            return json.load(fh)
+    try:
+        import sys
+        bin_path = os.path.join(REPO, "baseline_ref", "fastlio_baseline")
+        if not os.path.exists(bin_path):
+            print("bench: building reference fastlio...", file=sys.stderr,
+                  flush=True)
+            subprocess.run(["make", "-C", os.path.join(REPO, "baseline_ref")],
+                           check=True, timeout=600, capture_output=True)
+        replay = "/tmp/lsd_baseline_replay.bin"
+        if not os.path.exists(replay):
+            print("bench: exporting baseline replay...", file=sys.stderr,
+                  flush=True)
+            from lsd_tpu.tools.export_replay import export_replay
+            export_replay(replay)
+        print("bench: running reference fastlio...", file=sys.stderr,
+              flush=True)
+        traj = replay + ".traj.txt"
+        out = subprocess.run([bin_path, replay, traj], check=True,
+                             timeout=600, capture_output=True, text=True)
+        meas = json.loads(out.stdout.strip().splitlines()[-1])
+        # score the reference's trajectory so the baseline is a tracking
+        # run, not a no-op timing
+        gt = np.load(replay + ".gt.npy")
+        rows = np.loadtxt(traj)
+        est = np.zeros((len(rows), 4, 4))
+        est[:, :3] = rows[:, 1:].reshape(-1, 3, 4)
+        est[:, 3, 3] = 1
+        w = 27                      # rest + spin-up + init scans
+        n = min(len(est), len(gt))
+        T_align = gt[w] @ np.linalg.inv(est[w])
+        e = np.stack([T_align @ est[k] for k in range(w, n)])
+        err = np.linalg.norm(e[:, :3, 3] - gt[w:n, :3, 3], axis=1)
+        meas["ate_rmse_m"] = round(float(np.sqrt((err ** 2).mean())), 4)
+        meas["host_cpus"] = os.cpu_count()
+        with open(cache, "w") as fh:
+            json.dump(meas, fh)
+        return meas
+    except Exception as exc:        # missing toolchain, timeout, ...
+        import sys
+        print(f"bench: reference baseline unavailable ({exc!r}); "
+              "falling back to paper estimate", file=sys.stderr)
+        return None
+
 
 def main():
     import jax
+    # persistent compile cache: the LIO/PGO/detector programs are large;
+    # caching makes repeat bench runs start-to-JSON in well under the
+    # driver's budget
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lsd_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from lsd_tpu.sim import CircleSim, SimConfig
@@ -29,7 +95,10 @@ def main():
     from lsd_tpu.geometry import so3
 
     CAP = 2 ** 15          # 32k points/scan (128-beam class)
-    N_WARM, N_BENCH = 5, 200
+    # 100 timed scans: enough for steady-state throughput while keeping the
+    # host->device replay transfer (~0.66 MB/scan over the tunnel) inside
+    # the driver's time budget
+    N_WARM, N_BENCH = 5, 100
 
     sim = CircleSim(SimConfig(n_scans=N_WARM + N_BENCH, points_per_scan=CAP,
                               point_noise=0.01, seed=7))
@@ -50,6 +119,9 @@ def main():
                 for d in data]
 
     import sys
+    _t00 = time.perf_counter()
+    def _stage(msg):
+        print(f"bench[{time.perf_counter()-_t00:7.1f}s]: {msg}", file=sys.stderr, flush=True)
     # HONEST TIMING: on the axon tunnel, jax.block_until_ready does NOT
     # wait for device execution until the session has performed one
     # device->host fetch; pre-fetch "async" timings measure enqueue rate,
@@ -58,12 +130,12 @@ def main():
     # reflects real device execution.
     _ = jax.device_get(jnp.zeros(1))
 
-    print("bench: data ready, compiling...", file=sys.stderr, flush=True)
+    _stage("data ready, compiling...")
     for (P_, S_, M_, I_, IM_, _) in dev_data[:N_WARM]:
         st, info = lio_step(cfg, st, P_, S_, M_, I_, IM_)
     _ = jax.device_get(st.nav.pos)
 
-    print("bench: lio timing...", file=sys.stderr, flush=True)
+    _stage("lio timing...")
     t0 = time.perf_counter()
     poses = []
     for (P_, S_, M_, I_, IM_, T_gt) in dev_data[N_WARM:]:
@@ -81,7 +153,7 @@ def main():
     batch = [jnp.stack([dev_data[N_WARM + k][i] for k in range(K)])
              for i in range(5)]
     st_b = lio_init(cfg, nav0)
-    print("bench: lio batched compile...", file=sys.stderr, flush=True)
+    _stage("lio batched compile...")
     st_b, bposes = lio_step_batch(cfg, st_b, *batch)    # compile
     _ = jax.device_get(bposes[-1])
     n_rep = 4
@@ -110,7 +182,7 @@ def main():
             b.add_gps_prior(k, T[:3, 3] + rng.normal(0, 0.05, 3))
     g = b.to_data()
     pcfg = PgoConfig(outer_iters=3, cg_iters=30)
-    print("bench: pgo compile...", file=sys.stderr, flush=True)
+    _stage("pgo compile...")
     out, _ = optimize(g, pcfg)          # compile
     _ = jax.device_get(out.nodes.pos[0])
     n_pgo = 10
@@ -131,7 +203,7 @@ def main():
     det_pts = jnp.asarray(rng_np.normal(scale=20, size=(2 ** 17, 4))
                           .astype(np.float32))
     det_mask = jnp.ones((2 ** 17,), bool)
-    print("bench: detector compile...", file=sys.stderr, flush=True)
+    _stage("detector compile...")
     r = predict(det_pts, det_mask)
     _ = jax.device_get(r[1][0])
     t0 = time.perf_counter()
@@ -157,7 +229,7 @@ def main():
     t0v = jnp.zeros(3, jnp.float32)
     loc_pts = dev_data[1][0][:, :3]
     loc_msk = dev_data[1][2]
-    print("bench: localization compile...", file=sys.stderr, flush=True)
+    _stage("localization compile...")
     q, t, _ = ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v, iters=15)
     q, t, _ = icp_point_to_plane(icp_map, loc_pts, loc_msk, q, t, iters=6,
                                  searches=2)
@@ -174,13 +246,23 @@ def main():
             for p, d in zip(poses, dev_data[N_WARM:])]
     ate = float(np.sqrt(np.mean(np.square(errs))))
 
-    ref_scans_per_sec = 50.0
+    ref = measure_reference_baseline()
+    if ref is not None and ref.get("scans_per_sec", 0) > 0:
+        ref_scans_per_sec = float(ref["scans_per_sec"])
+        baseline_kind = (f"measured reference fastlio on this host "
+                         f"({ref.get('host_cpus', '?')} cpus, ATE "
+                         f"{ref.get('ate_rmse_m', '?')} m)")
+    else:
+        ref_scans_per_sec = 50.0
+        baseline_kind = "FAST-LIO2 paper estimate (build unavailable)"
     best = max(scans_per_sec, scans_per_sec_batched)
     print(json.dumps({
         "metric": "lio_scans_per_sec",
         "value": round(best, 2),
         "unit": "scans/s (32k-pt scans, 1 chip)",
         "vs_baseline": round(best / ref_scans_per_sec, 3),
+        "baseline_scans_per_sec": round(ref_scans_per_sec, 2),
+        "baseline_kind": baseline_kind,
         "lio_scans_per_sec_streaming": round(scans_per_sec, 2),
         "lio_scans_per_sec_batched": round(scans_per_sec_batched, 2),
         "ate_rmse_m": round(ate, 4),

@@ -29,6 +29,21 @@ class SimConfig:
     gyro_noise: float = 0.0       # rad/s
     acc_noise: float = 0.0        # g
     seed: int = 0
+    # realistic cold start: sit still for ``rest_time`` seconds (so an
+    # IMU-at-rest initializer, e.g. FAST-LIO's gravity/bias estimator, can
+    # converge), then spin up to ``omega`` linearly over ``ramp_time``.
+    # Defaults preserve the original instant-motion trajectory.
+    rest_time: float = 0.0
+    ramp_time: float = 0.0
+    # constant IMU biases (robustness scenarios; the filter carries bias
+    # states and should absorb these)
+    gyro_bias: Tuple[float, float, float] = (0.0, 0.0, 0.0)   # rad/s
+    acc_bias: Tuple[float, float, float] = (0.0, 0.0, 0.0)    # g
+    # corridor scenarios (CorridorSim)
+    speed: float = 2.5                # cruise speed (m/s)
+    corridor_half_width: float = 3.0  # wall distance from centerline (m)
+    feature_density: float = 1.0      # door-frame/clutter density scale;
+                                      # 0 = perfectly smooth (degenerate)
 
 
 def _rz(yaw):
@@ -81,32 +96,49 @@ class CircleSim:
         return np.concatenate(pts, axis=0).astype(np.float64)
 
     # ---- analytic trajectory ------------------------------------------
+    def _profile(self, t: float) -> Tuple[float, float, float]:
+        """(theta, omega, alpha) of the trajectory angle at time t,
+        honoring the rest + linear spin-up profile."""
+        cfg = self.cfg
+        t0, tr = cfg.rest_time, cfg.ramp_time
+        if t0 == 0.0 and tr == 0.0:       # original instant-cruise profile
+            return cfg.omega * t, cfg.omega, 0.0
+        if t <= t0:
+            return 0.0, 0.0, 0.0
+        if tr > 0.0 and t < t0 + tr:
+            dt = t - t0
+            a = cfg.omega / tr
+            return 0.5 * a * dt * dt, a * dt, a
+        th0 = 0.5 * cfg.omega * tr if tr > 0.0 else 0.0
+        return th0 + cfg.omega * (t - t0 - tr), cfg.omega, 0.0
+
     def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
         """Return (R_wb, p_w) at time t."""
         cfg = self.cfg
-        th = cfg.omega * t
+        th, _, _ = self._profile(t)
         p = np.array([cfg.radius * np.cos(th), cfg.radius * np.sin(th), 1.8])
         yaw = th + np.pi / 2
         return _rz(yaw), p
 
     def velocity(self, t: float) -> np.ndarray:
         cfg = self.cfg
-        th = cfg.omega * t
-        s = cfg.radius * cfg.omega
+        th, w, _ = self._profile(t)
+        s = cfg.radius * w
         return np.array([-s * np.sin(th), s * np.cos(th), 0.0])
 
     def imu_sample(self, t: float) -> np.ndarray:
         """[t, gyro(3) rad/s, accel(3) g-units] in body frame."""
         cfg = self.cfg
         R, _ = self.pose(t)
-        th = cfg.omega * t
-        a_w = np.array([-cfg.radius * cfg.omega ** 2 * np.cos(th),
-                        -cfg.radius * cfg.omega ** 2 * np.sin(th), 0.0])
+        th, w, al = self._profile(t)
+        # a_w = d2p/dt2: centripetal (r w^2 inward) + tangential (r alpha)
+        a_w = (np.array([-np.cos(th), -np.sin(th), 0.0]) * cfg.radius * w * w
+               + np.array([-np.sin(th), np.cos(th), 0.0]) * cfg.radius * al)
         g_w = np.array([0.0, 0.0, -9.81])
         acc_b = R.T @ (a_w - g_w) / 9.81
-        gyr_b = np.array([0.0, 0.0, cfg.omega])
-        gyr_b = gyr_b + self.rng.normal(0, cfg.gyro_noise, 3)
-        acc_b = acc_b + self.rng.normal(0, cfg.acc_noise, 3)
+        gyr_b = np.array([0.0, 0.0, w])
+        gyr_b = gyr_b + self.rng.normal(0, cfg.gyro_noise, 3) + np.asarray(cfg.gyro_bias)
+        acc_b = acc_b + self.rng.normal(0, cfg.acc_noise, 3) + np.asarray(cfg.acc_bias)
         return np.array([t, *gyr_b, *acc_b])
 
     # ---- scan generation ----------------------------------------------
@@ -156,6 +188,9 @@ class CircleSim:
         batch[:, 0] -= t0
         return batch
 
+    def duration(self) -> float:
+        return self.cfg.n_scans / self.cfg.scan_hz
+
     def generate(self, capacity: int = 16384, imu_capacity: int = 16,
                  t_start: float = 0.0):
         """Yield (points, stamps, mask, imu, imu_mask, gt_pose) per scan,
@@ -183,3 +218,82 @@ class CircleSim:
             T[:3, :3], T[:3, 3] = R, p
             out.append((P, S, M, I, IM, T))
         return out
+
+
+class CorridorSim(CircleSim):
+    """Straight corridor along +x — the degenerate-geometry robustness
+    scenario (long smooth walls constrain y/z/roll/pitch/yaw but leave the
+    travel direction weakly observable; ref: FAST-LIO degeneracy gating,
+    laserMapping.cpp:934-983).  ``feature_density`` controls how many door
+    frames / wall fixtures break the translational symmetry; 0 leaves the
+    corridor perfectly smooth."""
+
+    # ---- speed profile (rest -> linear ramp -> cruise) ------------------
+    def _sprofile(self, t: float) -> Tuple[float, float, float]:
+        """(distance, speed, accel) along +x at time t."""
+        cfg = self.cfg
+        t0, tr, v = cfg.rest_time, cfg.ramp_time, cfg.speed
+        if t <= t0:
+            return 0.0, 0.0, 0.0
+        if tr > 0.0 and t < t0 + tr:
+            dt = t - t0
+            a = v / tr
+            return 0.5 * a * dt * dt, a * dt, a
+        s0 = 0.5 * v * tr if tr > 0.0 else 0.0
+        return s0 + v * (t - t0 - tr), v, 0.0
+
+    def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
+        s, _, _ = self._sprofile(t)
+        return np.eye(3), np.array([s, 0.0, 1.5])
+
+    def velocity(self, t: float) -> np.ndarray:
+        _, v, _ = self._sprofile(t)
+        return np.array([v, 0.0, 0.0])
+
+    def imu_sample(self, t: float) -> np.ndarray:
+        cfg = self.cfg
+        _, _, a = self._sprofile(t)
+        g_w = np.array([0.0, 0.0, -9.81])
+        acc_b = (np.array([a, 0.0, 0.0]) - g_w) / 9.81
+        gyr_b = self.rng.normal(0, cfg.gyro_noise, 3) + np.asarray(cfg.gyro_bias)
+        acc_b = acc_b + self.rng.normal(0, cfg.acc_noise, 3) + np.asarray(cfg.acc_bias)
+        return np.array([t, *gyr_b, *acc_b])
+
+    def _build_world(self) -> np.ndarray:
+        cfg = self.cfg
+        rng = self.rng
+        # corridor long enough for the full run + sensor range
+        length = cfg.speed * (cfg.n_scans / cfg.scan_hz) + cfg.max_range + 20.0
+        w = cfg.corridor_half_width
+        pts = []
+        # floor + ceiling
+        n_f = 90000
+        fx = rng.uniform(-cfg.max_range, length, n_f)
+        fy = rng.uniform(-w, w, n_f)
+        pts.append(np.stack([fx, fy, np.zeros(n_f)], axis=1))
+        n_c = 30000
+        cx = rng.uniform(-cfg.max_range, length, n_c)
+        cy = rng.uniform(-w, w, n_c)
+        pts.append(np.stack([cx, cy, np.full(n_c, 3.0)], axis=1))
+        # two smooth walls
+        for side in (-w, w):
+            n_w = 60000
+            wx = rng.uniform(-cfg.max_range, length, n_w)
+            wz = rng.uniform(0.0, 3.0, n_w)
+            pts.append(np.stack([wx, np.full(n_w, side), wz], axis=1))
+        # door frames / fixtures every ~7 m (break the x-degeneracy)
+        if cfg.feature_density > 0:
+            n_doors = int((length + cfg.max_range) / 7.0 * cfg.feature_density)
+            for i in range(n_doors):
+                dx = -cfg.max_range + 7.0 * i / max(cfg.feature_density, 1e-6)
+                side = w if i % 2 == 0 else -w
+                # jamb: a 0.2 m-deep vertical post pair + lintel
+                for off in (-0.5, 0.5):
+                    u = rng.uniform(-0.1, 0.1, 400)
+                    v = rng.uniform(0.0, 2.2, 400)
+                    d = rng.uniform(0.0, 0.25, 400)
+                    pts.append(np.stack([
+                        np.full(400, dx + off) + u,
+                        np.full(400, side) - np.sign(side) * d,
+                        v], axis=1))
+        return np.concatenate(pts, axis=0).astype(np.float64)

@@ -51,6 +51,11 @@ class LioConfig(NamedTuple):
     vel_noise: float = 0.2           # wheelspeed/INS velocity sigma (m/s)
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
+    # re-run plane association when the iterate has moved this far from the
+    # pose it was matched at (translation + 10 m-lever rotation, m).  This
+    # is FAST-LIO's converge/rematch behaviour (laserMapping.cpp:1264
+    # nearest_search_en on !converged); 0 disables re-search entirely.
+    research_thresh: float = 0.05
     degen_thresh: float = 10.0       # eigenvalue gate on HtH pose block
     neighborhood: int = 7            # kNN voxel neighborhood (7/19/27);
                                      # 7 (faces+center) measures both faster
@@ -198,16 +203,28 @@ def lio_step(cfg: LioConfig, st: LioState,
     inv_v = 1.0 / (cfg.vel_noise ** 2)
     vw = jnp.where(vel_obs_valid, inv_v, 0.0)
 
-    # plane association once per scan at the propagated pose; iterations
-    # reuse it (see _match_planes)
+    # plane association at the propagated pose; iterations reuse it unless
+    # the iterate moves beyond research_thresh, in which case they re-search
+    # (lax.cond pays the gather cost only when taken) — FAST-LIO's
+    # converge/rematch flag (laserMapping.cpp:1264).
     planes = _match_planes(cfg, nav_prop, ds_pts, ds_mask, st.map)
 
-    # iterate carries (nav, gated HtH + vel info, residual stats); the last
-    # iteration's information matrix is reused for the covariance update
-    # (the converged dx is tiny, matching FAST-LIO's behaviour of updating P
-    # with the H of the final iteration).
+    # iterate carries (nav, gated HtH + vel info, residual stats, planes,
+    # match anchor); the last iteration's information matrix is reused for
+    # the covariance update (the converged dx is tiny, matching FAST-LIO's
+    # behaviour of updating P with the H of the final iteration).
     def iterate(i, carry):
-        nav_i, _, _ = carry
+        nav_i, _, _, planes, anchor = carry
+        if cfg.research_thresh > 0:
+            d_t = jnp.linalg.norm(nav_i.pos - anchor[0])
+            d_r = jnp.linalg.norm(nav_i.quat - anchor[1] *
+                                  jnp.sign(jnp.sum(nav_i.quat * anchor[1])))
+            moved = (d_t + 20.0 * d_r) > cfg.research_thresh
+            planes, anchor = jax.lax.cond(
+                moved,
+                lambda: (_match_planes(cfg, nav_i, ds_pts, ds_mask, st.map),
+                         (nav_i.pos, nav_i.quat)),
+                lambda: (planes, anchor))
         if cfg.use_pallas_p2p:
             from ..ops.pallas_p2p import p2p_reduce
             normals, dpl, plane_ok, plane_rms = planes
@@ -241,10 +258,13 @@ def lio_step(cfg: LioConfig, st: LioState,
         dx = -jnp.linalg.solve(A, b) * upd_mask
         stats = jnp.stack([n_pts_valid, sum_abs_r,
                            n_degen.astype(jnp.float32)])
-        return boxplus(nav_i, dx), HtH, stats
+        return boxplus(nav_i, dx), HtH, stats, planes, anchor
 
-    carry0 = (nav_prop, jnp.zeros((ERR_DIM, ERR_DIM), ds_pts.dtype), jnp.zeros(3, ds_pts.dtype))
-    nav_new, HtH_last, stats = jax.lax.fori_loop(0, cfg.max_iters, iterate, carry0)
+    carry0 = (nav_prop, jnp.zeros((ERR_DIM, ERR_DIM), ds_pts.dtype),
+              jnp.zeros(3, ds_pts.dtype), planes,
+              (nav_prop.pos, nav_prop.quat))
+    nav_new, HtH_last, stats, _, _ = jax.lax.fori_loop(
+        0, cfg.max_iters, iterate, carry0)
 
     # ---- covariance update with the last iteration's information -------
     P_new = jnp.linalg.inv(HtH_last + P_inv)
