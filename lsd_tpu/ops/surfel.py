@@ -193,23 +193,23 @@ _FACE_OFFSETS = np.asarray([[0, 0, 0], [1, 0, 0], [-1, 0, 0],
                            np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("min_points", ))
-def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
-                 plane_thresh: float = 0.1, min_points: int = 6
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Plane (normals, d, valid) per query from merged neighborhood moments.
-
-    Plane is n.x + d = 0 in world coords; valid requires enough points and
-    RMS plane thickness sqrt(lam0/count) < plane_thresh.
-    """
-    n = queries.shape[0]
+def surfel_neighborhood_moments(m: SurfelMap, queries: jax.Array,
+                                neighbor_mask: jax.Array = None
+                                ) -> jax.Array:
+    """Summed neighborhood moments (N, 10) in each query's voxel-center
+    frame.  ``neighbor_mask`` (N, 7) optionally drops neighbors (used by
+    the sharded map: each device sums only the voxels it OWNS; moments are
+    additive, so a psum over device partials is exactly the full-map
+    merge)."""
     base = jnp.floor(queries / m.voxel_size).astype(jnp.int32)
     ncoords = base[:, None, :] + _FACE_OFFSETS[None, :, :]        # (N, 7, 3)
-    # low load factor: 4 probes find essentially every occupied slot and
+    # low load factor: 2 probes find essentially every occupied slot and
     # halve the dominant key-gather volume
     slots = _probe_find(m.keys, ncoords, m.capacity,
                         num_probes=SURFEL_PROBES)  # (N, 7)
     ok_slot = slots >= 0
+    if neighbor_mask is not None:
+        ok_slot = ok_slot & neighbor_mask
     sl = jnp.maximum(slots, 0)
     # gathers prefer rows (AoS): materialize (C, 10) once (~10 MB copy,
     # cheap) then one row gather — measured ~2x faster than 10 scalar
@@ -237,14 +237,27 @@ def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
     s1 = s1 + cnt[..., None] * d
 
     # merge the 7 neighbors
-    N_ = jnp.sum(cnt, axis=1)
-    S1 = jnp.sum(s1, axis=1)
-    Sxx = jnp.sum(sxx, axis=1)
-    Syy = jnp.sum(syy, axis=1)
-    Szz = jnp.sum(szz, axis=1)
-    Sxy = jnp.sum(sxy, axis=1)
-    Sxz = jnp.sum(sxz, axis=1)
-    Syz = jnp.sum(syz, axis=1)
+    merged = jnp.stack([
+        jnp.sum(cnt, axis=1),
+        jnp.sum(s1[..., 0], axis=1),
+        jnp.sum(s1[..., 1], axis=1),
+        jnp.sum(s1[..., 2], axis=1),
+        jnp.sum(sxx, axis=1), jnp.sum(syy, axis=1), jnp.sum(szz, axis=1),
+        jnp.sum(sxy, axis=1), jnp.sum(sxz, axis=1), jnp.sum(syz, axis=1),
+    ], axis=-1)
+    return merged
+
+
+def planes_from_moments(merged: jax.Array, queries: jax.Array,
+                        voxel_size, qmask: jax.Array,
+                        plane_thresh: float = 0.1, min_points: int = 6
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Plane extraction from summed neighborhood moments (N, 10)."""
+    base = jnp.floor(queries / voxel_size).astype(jnp.int32)
+    N_ = merged[..., 0]
+    S1 = merged[..., 1:4]
+    Sxx, Syy, Szz = merged[..., 4], merged[..., 5], merged[..., 6]
+    Sxy, Sxz, Syz = merged[..., 7], merged[..., 8], merged[..., 9]
 
     Nc = jnp.maximum(N_, 1.0)
     mean = S1 / Nc[:, None]
@@ -259,7 +272,7 @@ def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
 
     normal, lam0, lam1 = _smallest_eigvec_3x3(cov)
     # plane in world coords: mean is relative to query voxel center
-    center = (base.astype(jnp.float32) + 0.5) * m.voxel_size
+    center = (base.astype(jnp.float32) + 0.5) * voxel_size
     mean_w = mean + center
     dpl = -jnp.einsum("ni,ni->n", normal, mean_w)
 
@@ -269,3 +282,17 @@ def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
     normal = jnp.where(valid[:, None], normal, 0.0)
     dpl = jnp.where(valid, dpl, 0.0)
     return normal, dpl, valid, jnp.where(valid, rms, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("min_points", ))
+def surfel_match(m: SurfelMap, queries: jax.Array, qmask: jax.Array,
+                 plane_thresh: float = 0.1, min_points: int = 6
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Plane (normals, d, valid) per query from merged neighborhood moments.
+
+    Plane is n.x + d = 0 in world coords; valid requires enough points and
+    RMS plane thickness sqrt(lam0/count) < plane_thresh.
+    """
+    merged = surfel_neighborhood_moments(m, queries)
+    return planes_from_moments(merged, queries, m.voxel_size, qmask,
+                               plane_thresh, min_points)

@@ -78,7 +78,7 @@ def run_tpu_lio(sim, data, warmup: int):
     est = np.stack(poses)
     gt = np.stack([d[5] for d in data])
     return (_ate(est, gt, warmup), 1e3 * t_used / max(n_timed, 1),
-            int(max(degen)))
+            int(max(degen[warmup:])))   # post-warmup (first scans gate all)
 
 
 def run_reference(sim, warmup: int, tmpdir: str, name: str):
@@ -119,6 +119,13 @@ def main(argv=None):
     ap.add_argument("--points", type=int, default=2 ** 15)
     ap.add_argument("--skip-reference", action="store_true")
     args = ap.parse_args(argv)
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lsd_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     warmup = 27          # rest (15) + ramp (10) + filter latch (2)
     rows = []

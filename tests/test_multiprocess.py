@@ -119,6 +119,52 @@ print(f"WORKER_{pid}_OK err={err}", flush=True)
 """
 
 
+SCHUR_WORKER = r"""
+import sys, os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(f"127.0.0.1:{port}", n, pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, %(repo)r)
+from lsd_tpu.slam.graph_builder import PoseGraphBuilder
+from lsd_tpu.slam.posegraph import PgoConfig, optimize
+from lsd_tpu.parallel.schur_pgo import optimize_schur
+from jax.sharding import Mesh
+from jax.experimental import multihost_utils
+
+rng = np.random.default_rng(0)
+b = PoseGraphBuilder()
+T = np.eye(4, dtype=np.float32); poses = []
+for i in range(48):
+    b.add_node(T.copy(), fixed=(i == 0))
+    poses.append(T.copy())
+    d = np.eye(4, dtype=np.float32); d[0, 3] = 1.0; d[1, 3] = 0.02
+    T = T @ d
+for i in range(47):
+    rel = (np.linalg.inv(poses[i]) @ poses[i + 1]).astype(np.float32)
+    b.add_se3_edge(i, i + 1, rel)
+loop = np.eye(4, dtype=np.float32); loop[0, 3] = 47.0
+b.add_se3_edge(0, 47, loop)
+for k in range(4, 48, 9):
+    b.add_gps_prior(k, poses[k][:3, 3] + rng.normal(0, 0.02, 3).astype(np.float32), info=4.0)
+    b.add_floor_prior(k, 0.0, z_info=4.0, tilt_info=4.0)
+    b.add_orientation_prior(k, np.array([1.0, 0, 0, 0], np.float32), info=4.0)
+data = b.to_data()
+cfg = PgoConfig(outer_iters=5, cg_iters=120)
+ref, _ = optimize(data, cfg)                      # process-local reference
+mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("dp",))
+out, info = optimize_schur(jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), data), mesh, cfg)
+pos = multihost_utils.process_allgather(out.nodes.pos, tiled=True)
+pos = np.asarray(pos).reshape(-1, 3)[:ref.nodes.pos.shape[0]]
+err = float(np.max(np.abs(np.asarray(jax.device_get(ref.nodes.pos)) - pos)))
+assert err < 5e-3, err
+print(f"WORKER_{pid}_OK err={err}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -160,3 +206,10 @@ def test_distributed_pgo_across_processes(tmp_path):
 @pytest.mark.slow
 def test_sharded_lio_across_processes(tmp_path):
     _run_workers(tmp_path, LIO_WORKER)
+
+
+@pytest.mark.slow
+def test_schur_pgo_across_processes(tmp_path):
+    """Schur-complement PGO (all factor types) across 2 real processes x 2
+    devices must match the single-device robust-GN solver."""
+    _run_workers(tmp_path, SCHUR_WORKER)
