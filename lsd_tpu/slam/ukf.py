@@ -1,15 +1,18 @@
 """Unscented Kalman filter pose tracker for map-based localization.
 
 Re-derivation of the reference's hdl_localization pose estimator
-(slam/localization/hdl_localization/src/pose_estimator.cpp — a UKF whose
-state stacks position, velocity, quaternion (as 4 plain components,
-re-normalized after every mean), and IMU biases; prediction is either a
-constant-velocity model or IMU-driven, correction observes the NDT pose
-[p, q]).  State (16,):
+(slam/localization/hdl_localization/src/pose_estimator.cpp:64 — a 23-dim
+UKF whose state stacks position, velocity, quaternion (as 4 plain
+components, re-normalized after every mean), IMU biases, angular
+velocity, and the IMU-mount quaternion; prediction is either a
+constant-velocity model — which COASTS rotation through the angular
+velocity state between NDT fixes — or IMU-driven, correction observes
+the NDT pose [p, q]).  State (23,):
 
-    [0:3] p, [3:6] v, [6:10] q (wxyz), [10:13] bg, [13:16] ba
+    [0:3] p, [3:6] v, [6:10] q (wxyz), [10:13] bg, [13:16] ba,
+    [16:19] w (angular velocity, body), [19:23] q_imu (IMU mount)
 
-The whole filter is tiny (33 sigma points x 16 dims) and runs as one XLA
+The whole filter is tiny (47 sigma points x 23 dims) and runs as one XLA
 program per predict/correct.
 """
 from __future__ import annotations
@@ -23,14 +26,14 @@ import numpy as np
 
 from ..geometry import so3
 
-DIM = 16
+DIM = 23
 OBS_DIM = 7
 GRAVITY = 9.81
 
 
 class UkfState(NamedTuple):
-    x: jax.Array   # (16,)
-    P: jax.Array   # (16, 16)
+    x: jax.Array   # (23,)
+    P: jax.Array   # (23, 23)
 
 
 class UkfConfig(NamedTuple):
@@ -43,16 +46,19 @@ class UkfConfig(NamedTuple):
     q_vel: float = 0.5
     q_quat: float = 1e-4
     q_bias: float = 1e-6
+    q_angvel: float = 0.5
+    q_mount: float = 1e-8     # IMU mount quat is essentially constant
     r_pos: float = 0.01       # NDT position noise (m^2-ish)
     r_quat: float = 0.001
 
 
 def ukf_init(pose: Optional[jax.Array] = None) -> UkfState:
-    x = jnp.zeros(DIM, jnp.float32).at[6].set(1.0)
+    x = jnp.zeros(DIM, jnp.float32).at[6].set(1.0).at[19].set(1.0)
     if pose is not None:
         q = so3.matrix_to_quat(pose[:3, :3])
         x = x.at[0:3].set(pose[:3, 3]).at[6:10].set(q)
     P = jnp.eye(DIM, dtype=jnp.float32) * 0.01
+    P = P.at[19:23, 19:23].set(jnp.eye(4) * 1e-6)   # mount known a priori
     return UkfState(x=x, P=P)
 
 
@@ -68,7 +74,8 @@ def _sigma_points(x, P, cfg: UkfConfig):
 
 def _normalize_quat(x):
     q = so3.quat_normalize(x[..., 6:10])
-    return x.at[..., 6:10].set(q)
+    qm = so3.quat_normalize(x[..., 19:23])
+    return x.at[..., 6:10].set(q).at[..., 19:23].set(qm)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -82,24 +89,35 @@ def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
     def f(s):
         p, v, q = s[0:3], s[3:6], so3.quat_normalize(s[6:10])
         bg, ba = s[10:13], s[13:16]
+        w_st = s[16:19]
+        q_imu = so3.quat_normalize(s[19:23])
         if use_imu:
-            w = imu_gyro - bg
-            a = imu_acc - ba
+            # rotate raw IMU rates/accels through the mount quaternion
+            # (ref pose_estimator.cpp f_imu: q_imu * (gyro - bg))
+            w = so3.quat_rotate(q_imu, imu_gyro - bg)
+            a = so3.quat_rotate(q_imu, imu_acc - ba)
             q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(w * dt)))
             acc_w = so3.quat_rotate(q, a) + np.asarray([0.0, 0.0, -GRAVITY], np.float32)
             v_new = v + acc_w * dt
+            w_new = w
         else:
-            q_new = q
+            # constant-velocity coasting INCLUDING rotation: the angular
+            # velocity state keeps the attitude turning between NDT fixes
+            # (the 16-dim round-1 filter froze attitude here)
+            q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(w_st * dt)))
             v_new = v
+            w_new = w_st
         p_new = p + v * dt
-        return s.at[0:3].set(p_new).at[3:6].set(v_new).at[6:10].set(q_new)
+        return (s.at[0:3].set(p_new).at[3:6].set(v_new)
+                .at[6:10].set(q_new).at[16:19].set(w_new))
 
     pred = jax.vmap(f)(pts)
     mean = _normalize_quat(jnp.einsum("i,ij->j", wm, pred))
     d = pred - mean[None, :]
     P = jnp.einsum("i,ij,ik->jk", wc, d, d)
     Qd = jnp.concatenate([jnp.full(3, cfg.q_pos), jnp.full(3, cfg.q_vel),
-                          jnp.full(4, cfg.q_quat), jnp.full(6, cfg.q_bias)])
+                          jnp.full(4, cfg.q_quat), jnp.full(6, cfg.q_bias),
+                          jnp.full(3, cfg.q_angvel), jnp.full(4, cfg.q_mount)])
     P = P + jnp.diag(Qd) * jnp.maximum(dt, 1e-3) + 1e-6 * jnp.eye(DIM)
     return UkfState(x=mean, P=0.5 * (P + P.T))
 
