@@ -75,6 +75,24 @@ def ring_key(desc: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def sc_db_add_batch(db: ScanContextDB, descs: jax.Array,
+                    mask: jax.Array) -> ScanContextDB:
+    """Append K descriptors in ONE dispatch (map load path: the reference
+    map_loader rebuilds the whole ScanContext DB at startup —
+    localization.cpp/map_loader.cpp; a per-keyframe python loop costs one
+    jit dispatch per keyframe and recompiles per padding bucket)."""
+    k = descs.shape[0]
+    pos = db.count + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos % db.capacity, db.capacity)
+    rk = jax.vmap(ring_key)(descs)
+    return db._replace(
+        desc=db.desc.at[tgt].set(descs, mode="drop"),
+        ring_key=db.ring_key.at[tgt].set(rk, mode="drop"),
+        count=db.count + jnp.sum(mask.astype(jnp.int32)),
+        mask=db.mask.at[tgt].set(True, mode="drop"))
+
+
+@jax.jit
 def sc_db_add(db: ScanContextDB, desc: jax.Array) -> ScanContextDB:
     i = db.count % db.capacity
     return db._replace(desc=db.desc.at[i].set(desc),
