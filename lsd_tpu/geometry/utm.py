@@ -128,3 +128,21 @@ class UTMProjector:
     def unproject(self, x, y):
         ox, oy = self.origin if self.origin is not None else (0.0, 0.0)
         return utm_to_latlon(np.asarray(x) + ox, np.asarray(y) + oy, self.zone)
+
+    @property
+    def lon0(self) -> float:
+        """Central meridian of the anchored zone (degrees)."""
+        z = self.zone if self.zone is not None else 31
+        return (z - 1) * 6.0 - 180.0 + 3.0
+
+
+def grid_convergence(lon0_deg: float, lat_deg: float,
+                     lon_deg: float) -> float:
+    """UTM grid convergence (degrees): the angle between grid north and
+    true north at (lat, lon) for a zone with central meridian lon0.
+    gamma ~ atan(tan(dlon) * sin(lat)) — the reference subtracts this from
+    the INS heading before building RTK poses (rtkm.cpp:135
+    get_grid_convergence)."""
+    dlon = np.deg2rad(lon_deg - lon0_deg)
+    lat = np.deg2rad(lat_deg)
+    return float(np.rad2deg(np.arctan(np.tan(dlon) * np.sin(lat))))

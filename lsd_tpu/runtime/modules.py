@@ -146,10 +146,17 @@ class SlamModule(Module):
         register_interface("slam.restart_mapping", self._restart_mapping)
         if cfg.slam.mode == "mapping":
             kfi = cfg.slam.key_frames_interval
-            self.engine = Mapper(MapperConfig(
+            mcfg = MapperConfig(
                 lio=LioConfig(scan_voxel=cfg.slam.resolution,
                               map_voxel=cfg.slam.resolution),
-                keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1]))
+                keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1])
+            if str(getattr(cfg.slam, "method", "FastLIO")) == "RTKM":
+                # GNSS-interpolated mapping, no LiDAR odometry (ref
+                # slam.cpp getMappingTypeByName RTKM -> rtkm.cpp)
+                from ..slam import RtkMapper
+                self.engine = RtkMapper(mcfg)
+            else:
+                self.engine = Mapper(mcfg)
             register_interface("slam.save_map", self.engine.save)
             # map-editor surface mirroring the reference's full interface
             # set (slam/slam.py:27-47 register_interface list + the
@@ -290,13 +297,40 @@ class SlamModule(Module):
                                           float(ins.get("Vu", 0.0))],
                                          np.float32)
                     vel_obs_valid = np.asarray(True)
-            out = self.engine.process_scan(
-                frame.scan.points[:, :3], frame.scan.stamps, frame.scan.mask,
-                imu_rel.astype(np.float32), imu_mask,
-                stamp_us=frame.scan.timestamp, gps_xyz=gps_xyz,
-                vel_obs=vel_obs, vel_obs_valid=vel_obs_valid,
-                images={k: v for k, v in (frame.images or {}).items()
-                        if isinstance(v, (bytes, bytearray))})
+            # INS attitude -> keyframe orientation prior (ref
+            # hdl_graph_slam_nodelet.cpp:462-521), same acceptance gate
+            # as the GPS priors so only trustworthy fixes constrain
+            # attitude; heading is NED-clockwise degrees -> ENU yaw
+            orient_quat = None
+            if gps_xyz is not None and ins.get("heading") is not None:
+                from ..geometry import np_so3
+                R = np_so3.rpy_to_matrix(
+                    np.deg2rad(float(ins.get("roll", 0.0) or 0.0)),
+                    np.deg2rad(float(ins.get("pitch", 0.0) or 0.0)),
+                    np.deg2rad(90.0 - float(ins.get("heading", 0.0) or 0.0)))
+                orient_quat = np_so3.matrix_to_quat(R)
+            images = {k: v for k, v in (frame.images or {}).items()
+                      if isinstance(v, (bytes, bytearray))}
+            from ..slam import RtkMapper
+            if isinstance(self.engine, RtkMapper):
+                # RTKM mode: feed the raw fix stream; pose comes from RTK
+                # interpolation, not LiDAR odometry (rtkm.cpp feedInsData)
+                if ins and d.get("ins_valid") and accepted:
+                    fix = dict(ins)
+                    fix.setdefault("timestamp", ts)
+                    self.engine.feed_ins(fix)
+                out = self.engine.process_scan(
+                    frame.scan.points[:, :3], frame.scan.stamps,
+                    frame.scan.mask, stamp_us=frame.scan.timestamp,
+                    gps_xyz=gps_xyz, images=images)
+            else:
+                out = self.engine.process_scan(
+                    frame.scan.points[:, :3], frame.scan.stamps,
+                    frame.scan.mask,
+                    imu_rel.astype(np.float32), imu_mask,
+                    stamp_us=frame.scan.timestamp, gps_xyz=gps_xyz,
+                    vel_obs=vel_obs, vel_obs_valid=vel_obs_valid,
+                    images=images, orient_quat=orient_quat)
         else:
             # localization mode: IMU sample + GNSS fix (projected into the
             # map frame via the map's origin anchor) feed the UKF fusion

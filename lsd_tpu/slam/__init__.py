@@ -7,5 +7,6 @@ from .scancontext import make_descriptor, sc_db_create, sc_db_add, sc_query
 from .registration import icp_point_to_plane, ndt_build, ndt_align, NdtMap
 from .ukf import UkfConfig, UkfState, ukf_init, ukf_predict, ukf_correct, ukf_pose
 from .mapper import Mapper, MapperConfig
+from .rtkm import RtkMapper
 from .localization import Localizer, LocalizerConfig
 from . import map_io

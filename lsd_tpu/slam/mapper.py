@@ -48,6 +48,9 @@ class MapperConfig:
     loop_fitness_thresh: float = 0.4
     optimize_every: int = 10              # keyframes between PGO runs
     gps_info: float = 0.25                # 1/sigma^2 for GPS priors
+    orient_info: float = 1.0              # 1/sigma^2 for IMU/INS attitude
+                                          # priors (hdl_graph_slam_nodelet
+                                          # .cpp:462-521 imu_orientation)
     use_floor_prior: bool = False         # RANSAC floor -> z/tilt factor
     floor_z_info: float = 25.0
     floor_tilt_info: float = 10.0
@@ -79,7 +82,7 @@ class Mapper:
     def process_scan(self, points, stamps, mask, imu, imu_mask,
                      stamp_us: int = 0, gps_xyz=None,
                      vel_obs=None, vel_obs_valid=None,
-                     images=None) -> Dict:
+                     images=None, orient_quat=None) -> Dict:
         """Feed one (padded) scan; returns dict(pose, is_keyframe, info)."""
         cfg = self.cfg
         self.lio_state, info = lio_step(
@@ -97,7 +100,8 @@ class Mapper:
         loop = None
         if is_kf:
             loop = self._add_keyframe(points, mask, odom_pose, stamp_us,
-                                      gps_xyz, images=images)
+                                      gps_xyz, images=images,
+                                      orient_quat=orient_quat)
         # publish in the map frame: graph corrections (loop closures, GPS)
         # snap the live pose, not just the stored keyframes
         pose = self.odom2map @ odom_pose
@@ -107,7 +111,7 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _add_keyframe(self, points, mask, odom_pose, stamp_us, gps_xyz,
-                      images=None):
+                      images=None, orient_quat=None):
         cfg = self.cfg
         pts4 = np.asarray(points, np.float32)
         if pts4.shape[1] == 3:
@@ -132,6 +136,12 @@ class Mapper:
             self.graph.add_se3_edge(kid - 1, kid, T_rel, rot_info=400.0, trans_info=400.0)
         if gps_xyz is not None:
             self.graph.add_gps_prior(kid, gps_xyz, info=cfg.gps_info)
+        if orient_quat is not None:
+            # IMU/INS attitude prior on the keyframe (ref
+            # hdl_graph_slam_nodelet.cpp:462-521 imu_orientation edges)
+            self.graph.add_orientation_prior(
+                kid, np.asarray(orient_quat, np.float32),
+                info=cfg.orient_info)
         if cfg.use_floor_prior:
             self._add_floor_prior(kid, cloud)
 

@@ -69,6 +69,7 @@ def test_runtime_wires_ins_into_gps_priors():
         d["ins_data"]["Status"] = 42
         # ~1.1 m north per 1e-5 deg latitude
         d["ins_data"]["latitude"] = 42.0 + k * 2e-5
+        d["ins_data"]["heading"] = 90.0      # due east (NED) -> ENU yaw 0
         m.process(d)
     eng = m.engine
     assert eng.origin_lla is not None
@@ -79,4 +80,10 @@ def test_runtime_wires_ins_into_gps_priors():
     # prior positions follow the northward motion
     xyz = np.stack([g[1] for g in eng.graph.gps])
     assert np.all(np.isfinite(xyz))
+    # INS attitude produced orientation priors alongside the GPS priors
+    # (ref hdl_graph_slam_nodelet.cpp:462-521); heading 90 NED = yaw 0 ENU
+    # -> identity prior quaternion
+    assert len(eng.graph.orient) >= 1
+    q = np.asarray(eng.graph.orient[-1][1])
+    np.testing.assert_allclose(np.abs(q), [1.0, 0, 0, 0], atol=5e-3)
     clear_interfaces()
