@@ -29,6 +29,7 @@ class PipelineStatus(enum.Enum):
     RUNNING = "Running"
     PAUSED = "Paused"
     STOPPED = "Stopped"
+    ERROR = "Error"
 
 
 class Module:
@@ -216,8 +217,10 @@ class ModuleManager:
             m.start_loop()
         self.status = PipelineStatus.RUNNING
         self._stop.clear()
-        self._checker = threading.Thread(target=self._check_loop,
-                                         name="Checker", daemon=True)
+        self._checker = threading.Thread(
+            target=self._check_loop,
+            args=(getattr(self, "check_period", 5.0),),
+            name="Checker", daemon=True)
         self._checker.start()
 
     def stop(self) -> None:
@@ -227,27 +230,72 @@ class ModuleManager:
             m.release()
         self.status = PipelineStatus.STOPPED
 
-    def _check_loop(self) -> None:
+    MAX_RESTARTS = 3
+
+    def _check_loop(self, period: float = 5.0) -> None:
         """Health checker (ref module_manager.py check_status:101-137):
-        liveness + a status file heartbeat written every tick so external
-        watchdogs can detect a hung boot (boot watchdog semantics)."""
+        liveness + RESTART of dead module threads (bounded; escalates the
+        pipeline to Error after MAX_RESTARTS), a CPU/RSS resource sample
+        (ref module_manager.py:122-137 psutil monitor), and a status file
+        heartbeat written every tick so external watchdogs can detect a
+        hung boot (boot watchdog semantics)."""
         import json
         import os
         import tempfile
         status_path = os.environ.get("LSD_TPU_STATUS_FILE",
                                      os.path.join(tempfile.gettempdir(),
                                                   "lsd_tpu_status.json"))
-        while not self._stop.wait(5.0):
+        self._restarts: Dict[str, int] = getattr(self, "_restarts", {})
+        while not self._stop.wait(period):
             for m in self.modules.values():
                 st = m.status()
-                if not st["alive"]:
-                    self.logger.warning("module %s thread died", m.name)
+                if st["alive"] or self.status != PipelineStatus.RUNNING:
+                    continue
+                n = self._restarts.get(m.name, 0)
+                if n < self.MAX_RESTARTS:
+                    self._restarts[m.name] = n + 1
+                    self.logger.warning(
+                        "module %s thread died; restarting (%d/%d)",
+                        m.name, n + 1, self.MAX_RESTARTS)
+                    try:
+                        m.start_loop()
+                    except Exception:
+                        self.logger.exception("restart of %s failed", m.name)
+                else:
+                    self.logger.error(
+                        "module %s died %d times; pipeline -> Error",
+                        m.name, n)
+                    self.status = PipelineStatus.ERROR
+            self._sample_resources()
             try:
                 with open(status_path, "w") as f:
                     json.dump(self.get_status(), f)
             except OSError:
                 pass
 
+    def _sample_resources(self) -> None:
+        """Process CPU%/RSS without psutil: /proc deltas."""
+        import os
+        try:
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            rss_mb = rss_pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+            t = os.times()
+            cpu_s = t.user + t.system
+            now = time.monotonic()
+            prev = getattr(self, "_cpu_prev", None)
+            pct = 0.0
+            if prev is not None and now > prev[1]:
+                pct = 100.0 * (cpu_s - prev[0]) / (now - prev[1])
+            self._cpu_prev = (cpu_s, now)
+            self.resources = dict(rss_mb=round(rss_mb, 1),
+                                  cpu_pct=round(pct, 1),
+                                  threads=threading.active_count())
+        except OSError:
+            self.resources = {}
+
     def get_status(self) -> Dict:
         return dict(status=self.status.value,
-                    modules={n: m.status() for n, m in self.modules.items()})
+                    modules={n: m.status() for n, m in self.modules.items()},
+                    resources=getattr(self, "resources", {}),
+                    restarts=dict(getattr(self, "_restarts", {})))

@@ -276,3 +276,42 @@ def test_system_utils(tmp_path):
     out = capture_journal(str(tmp_path))
     if out is not None:
         assert (tmp_path / "journal.txt").exists()
+
+
+def test_health_checker_restarts_dead_module():
+    """The checker RESTARTS crashed module threads (bounded), then
+    escalates to Error (ref module_manager.py check_status — round-1
+    only logged)."""
+    import time
+    from lsd_tpu.runtime.pipeline import Module, ModuleManager, PipelineStatus
+
+    class Src(Module):
+        def get_data(self):
+            time.sleep(0.01)
+            return {"n": 1}
+
+    class Crashy(Module):
+        crashes = 0
+
+        def process(self, d):
+            Crashy.crashes += 1
+            raise RuntimeError("boom")
+
+    mgr = ModuleManager({"Source": lambda cfg: Src("Source"),
+                         "Crashy": lambda cfg: Crashy("Crashy")})
+    mgr.check_period = 0.1
+    mgr.build([["Source", "Crashy"]], cfg=None)
+    mgr.start()
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                mgr.status is not PipelineStatus.ERROR:
+            time.sleep(0.05)
+        assert mgr.status is PipelineStatus.ERROR
+        st = mgr.get_status()
+        assert st["restarts"]["Crashy"] == ModuleManager.MAX_RESTARTS
+        # it actually re-ran the module after each restart
+        assert Crashy.crashes >= ModuleManager.MAX_RESTARTS + 1
+        assert "rss_mb" in st["resources"]
+    finally:
+        mgr.stop()
