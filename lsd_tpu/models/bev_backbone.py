@@ -43,11 +43,13 @@ class BEVBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x (H, W, C) or (B, H, W, C) -> BEV features at stride of stage 0."""
+        """x (H, W, C) or (B, H, W, C) -> BEV features at the stride of
+        stage 0 (strides[0]); later stages deconv back to it."""
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
         ups = []
+        out_stride = self.strides[0]
         total_stride = 1
         for i, (n, ch, st) in enumerate(zip(self.layer_nums, self.channels, self.strides)):
             x = ResBlock(ch, stride=st, dtype=self.dtype)(x)
@@ -55,9 +57,10 @@ class BEVBackbone(nn.Module):
                 x = ResBlock(ch, dtype=self.dtype)(x)
             total_stride *= st
             u = x
-            if total_stride > 1:
-                u = nn.ConvTranspose(self.up_channels[i], (total_stride, total_stride),
-                                     strides=(total_stride, total_stride),
+            up = total_stride // out_stride
+            if up > 1:
+                u = nn.ConvTranspose(self.up_channels[i], (up, up),
+                                     strides=(up, up),
                                      dtype=self.dtype)(u)
             else:
                 u = nn.Conv(self.up_channels[i], (3, 3), dtype=self.dtype)(u)

@@ -28,12 +28,34 @@ class DetectorConfig(NamedTuple):
     num_classes: int = 3
     pillar_filters: int = 64
     max_boxes: int = 256
+    # stride of the first backbone stage = stride of the detection head
+    # maps relative to the pillar grid.  1 keeps head maps at grid
+    # resolution (the round-1 default); 2 halves them — used by the
+    # reference-capacity config so a 640^2 grid decodes on 320^2 maps.
+    bev_stride: int = 1
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
         W = int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0]))
         H = int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1]))
         return H, W
+
+    @property
+    def head_hw(self) -> Tuple[int, int]:
+        H, W = self.grid_hw
+        return H // self.bev_stride, W // self.bev_stride
+
+    @classmethod
+    def reference_capacity(cls) -> "DetectorConfig":
+        """Capacity-matched to the reference's production model
+        (sensor_inference/cfgs/detection_object.yaml: 0.1 m voxels over
+        +-64 m, spconv stride 8): dense 0.2 m pillars over +-64 m ->
+        640^2 input grid, head at 0.4 m cells, 64k pillar budget
+        (a 128-beam frame occupies ~30-60k pillars at 0.2 m)."""
+        return cls(pc_range=(-64.0, -64.0, -3.0, 64.0, 64.0, 3.0),
+                   voxel_size=(0.2, 0.2, 6.0),
+                   max_voxels=65536, max_points_per_voxel=8,
+                   bev_stride=2)
 
 
 class CenterPointDetector(nn.Module):
@@ -50,12 +72,13 @@ class CenterPointDetector(nn.Module):
                           tuple(cfg.pc_range))(voxels, coords, num_pts)
         feats = feats * vmask[:, None]
         bev = scatter_to_bev(feats, coords, vmask, cfg.grid_hw)
-        x = BEVBackbone()(bev)
+        x = BEVBackbone(strides=(cfg.bev_stride, 2, 2))(bev)
         return CenterHead(num_classes=cfg.num_classes)(x)
 
     def decode(self, preds: dict):
         return decode_boxes(preds, self.cfg.voxel_size, self.cfg.pc_range,
-                            stride=1, max_boxes=self.cfg.max_boxes)
+                            stride=self.cfg.bev_stride,
+                            max_boxes=self.cfg.max_boxes)
 
 
 # --------------------------------------------------------------------------
@@ -64,9 +87,11 @@ class CenterPointDetector(nn.Module):
 
 def make_target_maps(cfg: DetectorConfig, gt_boxes: jax.Array, gt_labels: jax.Array,
                      gt_mask: jax.Array) -> dict:
-    """Draw Gaussian heatmap + regression targets for (G, 7) gt boxes."""
-    H, W = cfg.grid_hw
-    vx, vy = cfg.voxel_size[0], cfg.voxel_size[1]
+    """Draw Gaussian heatmap + regression targets for (G, 7) gt boxes
+    at the HEAD resolution (grid / bev_stride)."""
+    H, W = cfg.head_hw
+    vx = cfg.voxel_size[0] * cfg.bev_stride
+    vy = cfg.voxel_size[1] * cfg.bev_stride
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 

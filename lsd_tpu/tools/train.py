@@ -27,6 +27,12 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh-dp", type=int, default=0,
                     help="shard batches over N devices (0 = single device)")
     ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--realistic", action="store_true",
+                    help="lidar-realistic synthetic scenes (1/r density, "
+                         "face visibility, shadows, wall/pole clutter)")
+    ap.add_argument("--ref-capacity", action="store_true",
+                    help="train the reference-capacity model (+-64 m, "
+                         "0.2 m pillars, 640^2 grid)")
     args = ap.parse_args(argv)
 
     import jax
@@ -39,17 +45,25 @@ def main(argv=None) -> int:
         devs = np.asarray(jax.devices()[:args.mesh_dp])
         mesh = jax.sharding.Mesh(devs, ("dp",))
 
-    trainer = Trainer(cfg=TrainerConfig(lr=args.lr, total_steps=args.steps),
+    from ..models import DetectorConfig
+    det_cfg = (DetectorConfig.reference_capacity() if args.ref_capacity
+               else DetectorConfig())
+    trainer = Trainer(det_cfg=det_cfg,
+                      cfg=TrainerConfig(lr=args.lr, total_steps=args.steps),
                       mesh=mesh)
     if args.data:
         ds = LabeledFrameDataset(args.data, batch_size=args.batch)
         batches = ds.batches(epochs=max(1, args.steps // max(len(ds), 1)))
         eval_batches = list(ds.batches(epochs=1))
     else:
-        ds = SyntheticDetectionDataset(batch_size=args.batch)
+        from ..training import SyntheticSceneConfig
+        scfg = SyntheticSceneConfig(realistic=args.realistic)
+        if args.ref_capacity:
+            scfg.xy_range = 60.0
+        ds = SyntheticDetectionDataset(scfg, batch_size=args.batch)
         batches = ds.batches(args.steps)
         eval_batches = list(SyntheticDetectionDataset(
-            batch_size=args.batch, seed=999).batches(4))
+            scfg, batch_size=args.batch, seed=999).batches(4))
 
     out = trainer.fit(batches, eval_batches=eval_batches,
                       eval_every=args.eval_every)

@@ -1,2 +1,3 @@
-from .data import LabeledFrameDataset, SyntheticDetectionDataset
+from .data import (LabeledFrameDataset, SyntheticDetectionDataset,
+                   SyntheticSceneConfig)
 from .trainer import Trainer, TrainerConfig

@@ -96,6 +96,14 @@ class SyntheticSceneConfig:
     xy_range: float = 40.0
     class_sizes: Sequence = ((4.5, 1.9, 1.6), (0.8, 0.8, 1.7),
                              (1.8, 0.6, 1.6))   # vehicle / ped / cyclist
+    # lidar-realistic sampling: sensor at the origin, 1/r point-density
+    # falloff, only sensor-facing box faces return points, azimuth shadows
+    # behind objects, and wall/pole background clutter.  Off by default
+    # (the round-1 uniform sampler) so existing goldens stay stable.
+    realistic: bool = False
+    sensor_z: float = 1.8
+    n_walls: int = 6
+    n_poles: int = 12
 
 
 class SyntheticDetectionDataset:
@@ -111,9 +119,25 @@ class SyntheticDetectionDataset:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
 
+    def _box_surface(self, rng, dims, n):
+        """n uniform surface samples of an axis-aligned box + their
+        outward face normals (local frame)."""
+        dx, dy, dz = dims
+        local = rng.uniform(-0.5, 0.5, (n, 3)) * [dx, dy, dz]
+        normals = np.zeros((n, 3))
+        face = rng.integers(0, 3, n)
+        sign = rng.choice([-1.0, 1.0], n)
+        for ax, d in enumerate((dx, dy, dz)):
+            sel = face == ax
+            local[sel, ax] = sign[sel] * 0.5 * d
+            normals[sel, ax] = sign[sel]
+        return local, normals
+
     def scene(self) -> Dict[str, np.ndarray]:
         cfg, rng = self.cfg, self.rng
         boxes, labels, pts = [], [], []
+        sensor = np.asarray([0.0, 0.0, cfg.sensor_z])
+        shadows = []          # (azimuth, half_width, range) of each object
         for _ in range(cfg.n_boxes):
             cls = int(rng.integers(0, len(cfg.class_sizes)))
             dx, dy, dz = cfg.class_sizes[cls]
@@ -122,24 +146,69 @@ class SyntheticDetectionDataset:
             yaw = rng.uniform(-np.pi, np.pi)
             boxes.append([cx, cy, cz, dx, dy, dz, yaw])
             labels.append(cls)
-            # surface sampling: pick a face per point, uniform on it
+            r = float(np.hypot(cx, cy))
             n = cfg.points_per_box
-            local = rng.uniform(-0.5, 0.5, (n, 3)) * [dx, dy, dz]
-            face = rng.integers(0, 3, n)
-            sign = rng.choice([-0.5, 0.5], n)
-            for ax, d in enumerate((dx, dy, dz)):
-                sel = face == ax
-                local[sel, ax] = sign[sel] * d
+            if cfg.realistic:
+                # 1/r density falloff like a spinning lidar
+                n = max(16, int(n * min(1.0, (12.0 / max(r, 1.0)) ** 1.5)))
+            local, normals = self._box_surface(rng, (dx, dy, dz), n)
             c, s = np.cos(yaw), np.sin(yaw)
             R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
             world = local @ R.T + [cx, cy, cz]
-            inten = rng.uniform(0, 1, (n, 1))
+            if cfg.realistic:
+                # keep only sensor-facing faces
+                vis = np.einsum("ni,ni->n",
+                                normals @ R.T, sensor - world) > 0
+                world = world[vis]
+                shadows.append((np.arctan2(cy, cx),
+                                np.arctan2(max(dx, dy) / 2, max(r, 1.0)),
+                                r))
+            inten = rng.uniform(0, 1, (len(world), 1))
             pts.append(np.concatenate([world, inten], 1))
-        ground = np.concatenate([
-            rng.uniform(-cfg.xy_range, cfg.xy_range, (cfg.clutter_points, 2)),
-            rng.normal(0.0, 0.02, (cfg.clutter_points, 1)),
-            rng.uniform(0, 1, (cfg.clutter_points, 1))], axis=1)
-        pts.append(ground)
+
+        if cfg.realistic:
+            # ground with 1/r lidar density + walls + poles + shadowing
+            nrm = cfg.clutter_points
+            r_g = 2.0 * (cfg.xy_range / 2.0) ** rng.uniform(0, 1, nrm)
+            th_g = rng.uniform(-np.pi, np.pi, nrm)
+            ground = np.stack([r_g * np.cos(th_g), r_g * np.sin(th_g),
+                               rng.normal(0, 0.02, nrm)], 1)
+            extras = [ground]
+            for _ in range(cfg.n_walls):
+                ang = rng.uniform(-np.pi, np.pi)
+                wr = rng.uniform(0.6, 1.0) * cfg.xy_range
+                cw = np.asarray([wr * np.cos(ang), wr * np.sin(ang), 1.5])
+                tdir = np.asarray([-np.sin(ang), np.cos(ang), 0.0])
+                u = rng.uniform(-6, 6, 1200)
+                v = rng.uniform(-1.5, 1.5, 1200)
+                extras.append(cw + u[:, None] * tdir
+                              + v[:, None] * np.asarray([0, 0, 1.0]))
+            for _ in range(cfg.n_poles):
+                px, py = rng.uniform(-cfg.xy_range, cfg.xy_range, 2)
+                h = rng.uniform(0, 4.0, 120)
+                extras.append(np.stack(
+                    [np.full(120, px) + rng.normal(0, 0.03, 120),
+                     np.full(120, py) + rng.normal(0, 0.03, 120), h], 1))
+            bg = np.concatenate(extras, 0)
+            # azimuth shadows: background behind an object mostly vanishes
+            if shadows:
+                az = np.arctan2(bg[:, 1], bg[:, 0])
+                rr = np.hypot(bg[:, 0], bg[:, 1])
+                occ = np.zeros(len(bg), bool)
+                for (a0, hw, r0) in shadows:
+                    d = np.abs((az - a0 + np.pi) % (2 * np.pi) - np.pi)
+                    occ |= (d < hw) & (rr > r0 + 1.0)
+                keep = ~occ | (rng.uniform(0, 1, len(bg)) > 0.85)
+                bg = bg[keep]
+            inten = rng.uniform(0, 1, (len(bg), 1))
+            pts.append(np.concatenate([bg, inten], 1))
+        else:
+            ground = np.concatenate([
+                rng.uniform(-cfg.xy_range, cfg.xy_range,
+                            (cfg.clutter_points, 2)),
+                rng.normal(0.0, 0.02, (cfg.clutter_points, 1)),
+                rng.uniform(0, 1, (cfg.clutter_points, 1))], axis=1)
+            pts.append(ground)
         P, M = pad_points(np.concatenate(pts, 0).astype(np.float32),
                           self.point_capacity)
         B, L, GM = pad_boxes(np.asarray(boxes), np.asarray(labels),

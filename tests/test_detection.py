@@ -194,3 +194,49 @@ class TestDetectorModel:
             params, opt_state, loss = step(params, opt_state)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def test_bev_stride2_target_decode_roundtrip():
+    """bev_stride=2 (reference-capacity layout): targets drawn at head
+    resolution must decode back to the gt box."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lsd_tpu.models import (CenterPointDetector, DetectorConfig,
+                                make_target_maps)
+    from lsd_tpu.models.center_head import decode_boxes
+
+    cfg = DetectorConfig(pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+                         voxel_size=(0.25, 0.25, 6.0), max_voxels=512,
+                         max_points_per_voxel=4, max_boxes=8, bev_stride=2)
+    assert cfg.grid_hw == (64, 64) and cfg.head_hw == (32, 32)
+    gt = jnp.asarray([[1.5, -2.25, 0.4, 4.0, 2.0, 1.6, 0.3]], jnp.float32)
+    t = make_target_maps(cfg, gt, jnp.zeros(1, jnp.int32),
+                         jnp.ones(1, bool))
+    assert t["heatmap"].shape == (32, 32, cfg.num_classes)
+    # feed the targets straight into the decoder (logit-ify the heatmap)
+    preds = dict(heatmap=jnp.log(jnp.clip(t["heatmap"], 1e-6, 1 - 1e-6) /
+                                 (1 - jnp.clip(t["heatmap"], 1e-6, 1 - 1e-6))),
+                 offset=t["offset"], z=t["z"], dim=t["dim"], rot=t["rot"])
+    boxes, scores, cls, mask = decode_boxes(
+        preds, cfg.voxel_size, cfg.pc_range, stride=cfg.bev_stride,
+        max_boxes=4)
+    b = np.asarray(boxes[0])
+    np.testing.assert_allclose(b, np.asarray(gt[0]), atol=1e-2)
+
+    # the model builds + runs end-to-end at this stride
+    model = CenterPointDetector(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-7, 7, (512, 4)).astype(np.float32))
+    msk = jnp.ones(512, bool)
+    params = model.init(jax.random.PRNGKey(0), pts, msk)
+    preds = model.apply(params, pts, msk)
+    assert preds["heatmap"].shape == (32, 32, cfg.num_classes)
+
+
+def test_reference_capacity_config_shapes():
+    from lsd_tpu.models import DetectorConfig
+    cfg = DetectorConfig.reference_capacity()
+    assert cfg.grid_hw == (640, 640)
+    assert cfg.head_hw == (320, 320)
+    assert cfg.pc_range[3] == 64.0 and cfg.voxel_size[0] == 0.2
