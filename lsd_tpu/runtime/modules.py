@@ -170,6 +170,7 @@ class SlamModule(Module):
             register_interface("slam.get_edge", ed.get_edge)
             register_interface("slam.get_graph_meta", ed.get_graph_meta)
             register_interface("slam.get_key_frame", ed.get_key_frame)
+            register_interface("slam.get_vertex_cloud", ed.get_vertex_cloud)
             register_interface("slam.get_color_map", ed.get_color_map)
             register_interface("slam.del_vertex", ed.del_vertex)
             register_interface("slam.del_points", ed.del_points)

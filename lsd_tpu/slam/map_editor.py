@@ -91,6 +91,23 @@ class MapEditor:
         kf = self.mapper.store[i]
         return serialize_keyframe(str(index), kf.cloud, kf.images, item)
 
+    def get_vertex_cloud(self, index) -> bytes:
+        """Raw little-endian float32 (N,4) keyframe cloud in the keyframe's
+        own frame — the built-in editor UI's bulk-load path (the proto
+        route /v1/vertex-data carries the same points for external
+        tooling; raw f32 needs no proto parser in the browser).  Point row
+        order matches kf.cloud so del_points indices round-trip."""
+        i = int(index)
+        if not (0 <= i < len(self.mapper.store)):
+            return b""
+        cloud = np.asarray(self.mapper.store[i].cloud, np.float32)
+        if cloud.ndim != 2 or cloud.shape[1] < 3:
+            return b""
+        if cloud.shape[1] == 3:
+            cloud = np.concatenate(
+                [cloud, np.zeros((len(cloud), 1), np.float32)], axis=1)
+        return np.ascontiguousarray(cloud[:, :4]).tobytes()
+
     # --- color map streaming --------------------------------------------
     def get_color_map(self) -> bytes:
         """Build (once) and stream the aggregated world-frame map in

@@ -139,6 +139,10 @@ class PerceptionServer:
             lambda b: self._proto_bytes("slam.get_key_frame",
                                         _id_of(b), b.get("item", "p")
                                         if isinstance(b, dict) else "p")
+        # raw f32 (N,4) keyframe cloud for the built-in editor UI
+        r[("POST", "/v1/map-vertex-bin")] = \
+            lambda b: (call_interface("slam.get_vertex_cloud", _id_of(b))
+                       if has_interface("slam.get_vertex_cloud") else b"")
         # message server (TViz)
         r[("GET", "/v1/start-message-subscribe")] = \
             lambda q: self._subscribe_messages(True)
@@ -644,6 +648,11 @@ class PerceptionServer:
                 www = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "www")
                 rel = path.lstrip("/") or "index.html"
+                # pretty URLs like the reference's /editor, /calibration
+                # (web_ui react-router routes) map to <name>.html
+                if "." not in rel and \
+                        os.path.isfile(os.path.join(www, rel + ".html")):
+                    rel += ".html"
                 full = os.path.realpath(os.path.join(www, rel))
                 if not full.startswith(os.path.realpath(www) + os.sep) and \
                         full != os.path.realpath(os.path.join(www, "index.html")):

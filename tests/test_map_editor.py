@@ -193,3 +193,24 @@ def test_point_in_polygon():
     tri = [[0, 0], [4, 0], [2, 3]]
     assert point_in_polygon(2, 1, tri)
     assert not point_in_polygon(0.1, 2.9, tri)
+
+
+@pytest.mark.slow
+def test_vertex_cloud_binary(slam_module):
+    """The editor UI's bulk-load path: raw f32 (N,4) local-frame bytes,
+    row order matching kf.cloud so del_points indices round-trip."""
+    feed_scans(slam_module, n=12)
+    m = slam_module.engine
+    raw = call_interface("slam.get_vertex_cloud", 1)
+    arr = np.frombuffer(raw, np.float32).reshape(-1, 4)
+    assert len(arr) == len(m.store[1].cloud)
+    np.testing.assert_allclose(arr[:, :3], m.store[1].cloud[:, :3],
+                               atol=1e-6)
+    # deleting via indices into this buffer removes exactly those rows
+    call_interface("slam.del_points", {"1": [0, 5]})
+    raw2 = call_interface("slam.get_vertex_cloud", 1)
+    arr2 = np.frombuffer(raw2, np.float32).reshape(-1, 4)
+    assert len(arr2) == len(arr) - 2
+    np.testing.assert_allclose(arr2[0, :3], arr[1, :3], atol=1e-6)
+    # out-of-range id -> empty payload, not an exception
+    assert call_interface("slam.get_vertex_cloud", 9999) == b""

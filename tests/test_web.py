@@ -263,3 +263,21 @@ class TestReferenceRouteParity:
         out = json.loads(body)
         assert "time" in out and out["time"].count(":") == 2
         assert "disk" in out and "used_percent" in out["disk"]
+
+
+class TestEditorUi:
+    def test_editor_served_at_pretty_url(self, server):
+        """/editor (reference web_ui react-router URL, docs/slam.md:89)
+        serves the built-in editor page."""
+        url, _ = server
+        status, body = _get(url + "/editor")
+        assert status == 200
+        assert b"map editor" in body and b"map-vertex-bin" in body
+        status, _body = _get(url + "/editor.html")
+        assert status == 200
+
+    def test_map_vertex_bin_without_slam(self, server):
+        url, _ = server
+        status, body = _post(url + "/v1/map-vertex-bin", {"id": 0})
+        assert status == 200
+        assert body == b""
