@@ -143,6 +143,23 @@ class _TrajectoryCalib:
             self.ref_poses.append(np.asarray(ref_pose, float).reshape(4, 4))
             return len(self.lidar_poses)
 
+    def maybe_feed(self, lidar_pose, ref_pose, min_dist: float = 2.0,
+                   min_rot_deg: float = 15.0) -> int:
+        """Keyframe-gated feed (ref InsCalib.is_keyframe: 5 m / 30 deg —
+        we gate tighter since the solver benefits from more pairs)."""
+        T = np.asarray(lidar_pose, float).reshape(4, 4)
+        with self._lock:
+            if self.lidar_poses:
+                last = self.lidar_poses[-1]
+                d = np.linalg.norm(T[:3, 3] - last[:3, 3])
+                cosang = (np.trace(last[:3, :3].T @ T[:3, :3]) - 1) / 2
+                ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                if d < min_dist and ang < min_rot_deg:
+                    return len(self.lidar_poses)
+            self.lidar_poses.append(T)
+            self.ref_poses.append(np.asarray(ref_pose, float).reshape(4, 4))
+            return len(self.lidar_poses)
+
     def positions(self) -> np.ndarray:
         with self._lock:
             if not self.lidar_poses:
@@ -203,11 +220,26 @@ def get_vector_from_transform(transform):
     return transform_to_cfg(np.asarray(transform, float).reshape(4, 4))
 
 
+def _lidar_entry(config, index):
+    """Lidar config entry or None (replay sessions may have no live
+    lidar list; the solvers still return their correction)."""
+    lidars = config.get("lidar") or []
+    i = int(index)
+    return lidars[i] if 0 <= i < len(lidars) else None
+
+
+def _apply_lidar_delta(config, index, dT) -> None:
+    entry = _lidar_entry(config, index)
+    if entry is None:
+        return
+    T = cfg_to_transform(*entry.get("extrinsic_parameters",
+                                    [0, 0, 0, 0, 0, 0]))
+    entry["extrinsic_parameters"] = transform_to_cfg(dT @ T)
+
+
 def finetune_lidar(config, lidarIndex, transform):
-    T = cfg_to_transform(*config["lidar"][int(lidarIndex)]["extrinsic_parameters"])
     dT = np.asarray(transform, float).reshape(4, 4)
-    config["lidar"][int(lidarIndex)]["extrinsic_parameters"] = \
-        transform_to_cfg(dT @ T)
+    _apply_lidar_delta(config, lidarIndex, dT)
     return dT.flatten().tolist(), config
 
 
@@ -223,16 +255,14 @@ def calibrate_ground(config, points, contour, key):
     dT = np.eye(4)
     dT[:3, :3] = _rot_between(n, [0.0, 0.0, 1.0])
     dT[2, 3] = float(d)   # plane n.p + d = 0 -> origin height |d|
-    T = cfg_to_transform(*config["lidar"][int(key)]["extrinsic_parameters"])
-    config["lidar"][int(key)]["extrinsic_parameters"] = transform_to_cfg(dT @ T)
+    _apply_lidar_delta(config, key, dT)
     return dT.flatten().tolist(), config
 
 
 def calibrate_heading(config, source, target, key):
     dT = _similarity_2d(np.asarray(source, float).reshape(-1, 2)[:, :2],
                         np.asarray(target, float).reshape(-1, 2)[:, :2])
-    T = cfg_to_transform(*config["lidar"][int(key)]["extrinsic_parameters"])
-    config["lidar"][int(key)]["extrinsic_parameters"] = transform_to_cfg(dT @ T)
+    _apply_lidar_delta(config, key, dT)
     return dT.flatten().tolist(), config
 
 
@@ -327,8 +357,53 @@ def get_calibrate_camera(config, do_distort=False):
 
 # lidar-INS ------------------------------------------------------------------
 
+def _fix_to_pose(calib, ins) -> Optional[np.ndarray]:
+    """INS fix dict -> 4x4 pose in a local UTM frame anchored at the
+    calibrator's first fix (ref InsCalib get_transform_from_rtk)."""
+    lat, lon = ins.get("latitude"), ins.get("longitude")
+    if not lat or not lon:
+        return None
+    e, n, zone = latlon_to_utm(float(lat), float(lon))
+    origin = getattr(calib, "_origin", None)
+    if origin is None or origin[2] != zone:
+        calib._origin = (float(np.ravel(e)[0]), float(np.ravel(n)[0]), zone,
+                         float(ins.get("altitude", 0.0) or 0.0))
+        origin = calib._origin
+    T = np.eye(4)
+    yaw = np.deg2rad(90.0 - float(ins.get("heading", 0.0) or 0.0))
+    T[:3, :3] = cfg_to_transform(
+        0, 0, 0, float(ins.get("roll", 0.0) or 0.0),
+        float(ins.get("pitch", 0.0) or 0.0), np.degrees(yaw))[:3, :3]
+    T[0, 3] = float(np.ravel(e)[0]) - origin[0]
+    T[1, 3] = float(np.ravel(n)[0]) - origin[1]
+    T[2, 3] = float(ins.get("altitude", 0.0) or 0.0) - origin[3]
+    return T
+
+
+def _live_pull(calib) -> None:
+    """Pull one (SLAM pose, INS pose) pair from the running session and
+    keyframe-gate it into the calibrator.  The reference's InsCalib pulls
+    sink.get_proto_http on every UI poll of get-position-points
+    (calibration/ins_calibration/calib.py getPositionPoints); here the
+    poll of the same route does the pull through the interface registry."""
+    from ..runtime.interface import call_interface, has_interface
+    if not (has_interface("slam.get_pose")
+            and has_interface("databank.get_latest")):
+        return
+    frame = call_interface("databank.get_latest") or {}
+    if not frame.get("ins_valid"):
+        return
+    ref_T = _fix_to_pose(calib, frame.get("ins_data") or {})
+    if ref_T is None:
+        return
+    lidar_T = np.asarray(call_interface("slam.get_pose"),
+                         float).reshape(4, 4)
+    calib.maybe_feed(lidar_T, ref_T)
+
+
 def restart_lidar_ins_calibration(config):
     _ins_calib.reset(config["ins"]["extrinsic_parameters"])
+    _ins_calib._origin = None
 
 
 def feed_ins_calibration(lidar_pose, ins_pose):
@@ -337,6 +412,7 @@ def feed_ins_calibration(lidar_pose, ins_pose):
 
 def get_position_points():
     from ..proto.internal import serialize_pointcloud_map
+    _live_pull(_ins_calib)
     pos = _ins_calib.positions()
     pts = np.concatenate([pos, np.zeros((len(pos), 1), np.float32)], axis=1) \
         if len(pos) else np.zeros((0, 4), np.float32)
@@ -346,6 +422,21 @@ def get_position_points():
 def calibrate_lidar_ins():
     T = _ins_calib.calibrate(hand_eye=False)
     return {"result": T is not None}
+
+
+def lidar_ins_get_positions():
+    """JSON-friendly trajectory pair for the built-in calibration UI (the
+    proto route /v1/get-position-points carries the same lidar positions
+    for the reference UI)."""
+    _live_pull(_ins_calib)
+    return dict(lidar=_ins_calib.positions().tolist(),
+                ref=_ins_calib.ref_positions().tolist())
+
+
+def lidar_imu_get_positions():
+    _live_pull(_imu_calib)
+    return dict(lidar=_imu_calib.positions().tolist(),
+                ref=_imu_calib.ref_positions().tolist())
 
 
 def get_lidar_ins_calibration():
@@ -369,6 +460,7 @@ def set_lidar_ins_transform(config, transform):
 
 def restart_lidar_imu_calibration(config):
     _imu_calib.reset(config["ins"]["extrinsic_parameters"])
+    _imu_calib._origin = None
 
 
 def feed_imu_calibration(lidar_pose, imu_pose):
@@ -377,6 +469,7 @@ def feed_imu_calibration(lidar_pose, imu_pose):
 
 def get_imu_position_points(config=None):
     from ..proto.internal import serialize_pointcloud_map
+    _live_pull(_imu_calib)
     pos = _imu_calib.positions()
     pts = np.concatenate([pos, np.zeros((len(pos), 1), np.float32)], axis=1) \
         if len(pos) else np.zeros((0, 4), np.float32)
@@ -470,6 +563,8 @@ _REGISTRY = {
     "calibration.calibrate_lidar_ins": calibrate_lidar_ins,
     "calibration.get_lidar_ins_calibration": get_lidar_ins_calibration,
     "calibration.get_lidar_ins_transform": get_lidar_ins_transform,
+    "calibration.lidar_ins_get_positions": lidar_ins_get_positions,
+    "calibration.lidar_imu_get_positions": lidar_imu_get_positions,
     "calibration.set_lidar_ins_transform": set_lidar_ins_transform,
     "calibration.restart_lidar_imu_calibration": restart_lidar_imu_calibration,
     "calibration.feed_imu_calibration": feed_imu_calibration,

@@ -117,3 +117,69 @@ class TestCamera:
         np.testing.assert_allclose(Ke[0, 0], K[0, 0], rtol=0.05)
         np.testing.assert_allclose(Ke[1, 1], K[1, 1], rtol=0.05)
         np.testing.assert_allclose(Ke[0, 2], K[0, 2], rtol=0.1)
+
+
+class TestCalibrationService:
+    """The service layer behind the /calibration UI panels."""
+
+    def test_maybe_feed_keyframe_gating(self):
+        from lsd_tpu.calibration.service import _TrajectoryCalib
+        c = _TrajectoryCalib()
+        T = np.eye(4)
+        assert c.maybe_feed(T, T) == 1
+        assert c.maybe_feed(T, T) == 1          # no motion -> gated
+        T2 = np.eye(4); T2[0, 3] = 3.0
+        assert c.maybe_feed(T2, T2) == 2        # 3 m > 2 m gate
+        T3 = T2.copy()
+        th = np.deg2rad(20)
+        T3[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        assert c.maybe_feed(T3, T3) == 3        # 20 deg > 15 deg gate
+
+    def test_fix_to_pose_local_frame(self):
+        from lsd_tpu.calibration.service import _TrajectoryCalib, _fix_to_pose
+        c = _TrajectoryCalib()
+        f0 = dict(latitude=42.0, longitude=-83.0, altitude=10.0, heading=90.0)
+        T0 = _fix_to_pose(c, f0)
+        np.testing.assert_allclose(T0[:3, 3], 0.0, atol=1e-9)
+        # heading 90 NED = ENU yaw 0 -> identity rotation
+        np.testing.assert_allclose(T0[:3, :3], np.eye(3), atol=1e-9)
+        # ~1.1 m north per 1e-5 deg latitude
+        f1 = dict(latitude=42.0 + 1e-4, longitude=-83.0, altitude=12.0,
+                  heading=0.0)
+        T1 = _fix_to_pose(c, f1)
+        assert 10.0 < T1[1, 3] < 12.5 and abs(T1[0, 3]) < 0.5
+        assert abs(T1[2, 3] - 2.0) < 1e-6
+        # heading 0 NED (north) = ENU yaw 90
+        assert abs(np.degrees(np.arctan2(T1[1, 0], T1[0, 0])) - 90) < 1e-6
+        # missing fix -> None
+        assert _fix_to_pose(c, {}) is None
+
+    def test_lidar_delta_skips_missing_entry(self):
+        from lsd_tpu.calibration.service import (calibrate_heading,
+                                                 finetune_lidar)
+        cfg = {}    # replay session: no live lidar list
+        dT, cfg2 = finetune_lidar(cfg, 0, np.eye(4).flatten().tolist())
+        assert len(dT) == 16 and cfg2 == {}
+        th = np.deg2rad(10)
+        src = [[1, 0], [0, 1], [5, 5]]
+        tgt = [(np.cos(th) * x - np.sin(th) * y,
+                np.sin(th) * x + np.cos(th) * y) for x, y in src]
+        dT, _ = calibrate_heading(cfg, src, tgt, 0)
+        yaw = np.degrees(np.arctan2(dT[4], dT[0]))
+        np.testing.assert_allclose(yaw, 10.0, atol=1e-6)
+        # and with a real entry the extrinsic is composed
+        cfg = {"lidar": [{"extrinsic_parameters": [0, 0, 0, 0, 0, 0]}]}
+        _, cfg2 = calibrate_heading(cfg, src, tgt, 0)
+        assert abs(cfg2["lidar"][0]["extrinsic_parameters"][5] - 10.0) < 1e-4
+
+    def test_json_positions_getters(self):
+        from lsd_tpu.calibration.service import (
+            _imu_calib, _ins_calib, lidar_imu_get_positions,
+            lidar_ins_get_positions)
+        _ins_calib.reset([0, 0, 0, 0, 0, 0])
+        _imu_calib.reset([0, 0, 0, 0, 0, 0])
+        T = np.eye(4); T[0, 3] = 1.0
+        _ins_calib.feed(T, np.eye(4))
+        d = lidar_ins_get_positions()
+        assert d["lidar"] == [[1.0, 0.0, 0.0]] and d["ref"] == [[0, 0, 0]]
+        assert lidar_imu_get_positions() == {"lidar": [], "ref": []}
