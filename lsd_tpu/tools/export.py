@@ -95,6 +95,9 @@ def main(argv=None) -> int:
     ap.add_argument("--points", type=int, default=2 ** 17)
     ap.add_argument("--check", default=None,
                     help="load an artifact and run a smoke inference")
+    ap.add_argument("--int8", default=None, metavar="OUT.msgpack",
+                    help="also write int8 per-channel PTQ weights (ref "
+                         "generate_trt.sh --int8 role; models/quantize.py)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -123,6 +126,12 @@ def main(argv=None) -> int:
                            out_path=args.out)
     import os
     print(f"exported -> {path} ({os.path.getsize(path)} bytes)")
+    if args.int8:
+        from ..models.quantize import quantization_error, save_quantized
+        qp = save_quantized(args.int8, params)
+        err = max(quantization_error(params).values() or [0.0])
+        print(f"int8 weights -> {qp} ({os.path.getsize(qp)} bytes, "
+              f"max leaf rel err {err:.4f})")
     return 0
 
 
