@@ -187,21 +187,30 @@ def parse_odometry(buf: bytes) -> Dict:
 
 
 def serialize_pointcloud2(stamp_ns: int, pts: np.ndarray,
-                          frame_id: str = "lidar") -> bytes:
+                          frame_id: str = "lidar",
+                          t_rel: Optional[np.ndarray] = None) -> bytes:
+    """xyzi (+ optional per-point `time` f32 seconds from scan start —
+    the velodyne/ouster convention FAST-LIO undistorts from)."""
     pts = np.ascontiguousarray(pts, np.float32)
+    if t_rel is not None:
+        pts = np.concatenate(
+            [pts[:, :4],
+             np.asarray(t_rel, np.float32).reshape(-1, 1)], axis=1)
+        pts = np.ascontiguousarray(pts)
     n = len(pts)
+    ncol = pts.shape[1]
     fid = frame_id.encode()
     out = struct.pack("<III", 0, stamp_ns // 1_000_000_000,
                       stamp_ns % 1_000_000_000)
     out += struct.pack("<I", len(fid)) + fid
     out += struct.pack("<II", 1, n)                      # height, width
-    names = [b"x", b"y", b"z", b"intensity"]
+    names = [b"x", b"y", b"z", b"intensity", b"time"][:ncol]
     out += struct.pack("<I", len(names))
     for i, name in enumerate(names):
         out += struct.pack("<I", len(name)) + name
         out += struct.pack("<IBI", i * 4, 7, 1)          # offset, FLOAT32, count
     out += b"\x00"                                       # little endian
-    out += struct.pack("<II", 16, 16 * n)                # point/row step
+    out += struct.pack("<II", 4 * ncol, 4 * ncol * n)    # point/row step
     body = pts.tobytes()
     out += struct.pack("<I", len(body)) + body
     out += b"\x01"                                       # is_dense
@@ -385,31 +394,110 @@ def rosbag_to_pkl(bag_path: str, out_dir: str,
                   lidar_name: str = "0-Custom",
                   acc_in_g: bool = False,
                   extrinsic_lidar: Optional[np.ndarray] = None,
-                  max_frames: Optional[int] = None) -> str:
+                  max_frames: Optional[int] = None,
+                  stamp_at: str = "start") -> str:
     """Convert a rosbag into the pickle replay format (one frame dict per
-    lidar scan; IMU rows [t_s_rel, gyro rad/s, acc g] within the scan;
-    latest GPS fix as ins_data)."""
+    lidar scan; IMU rows [t_s_rel, gyro rad/s, acc g] with t_s_rel
+    measured from SCAN START — the runtime's convention; latest GPS fix
+    as ins_data).
+
+    ``stamp_at`` names the cloud header-stamp convention:
+      * ``"start"`` (FAST-LIO / velodyne driver: stamp = sweep begin) —
+        each scan takes the IMU window [stamp_k, stamp_{k+1}), so clouds
+        are emitted one frame behind arrival (flushed at EOF).
+      * ``"end"`` (stamp = sweep end) — each scan takes the window
+        (stamp_{k-1}, stamp_k] and the frame's start timestamp becomes
+        stamp_k minus the inter-cloud period.
+    """
     from ..io.recorder import FrameRecorder
 
+    if stamp_at not in ("start", "end"):
+        raise ValueError(f"stamp_at must be start|end, got {stamp_at!r}")
     reader = BagReader(bag_path)
     rec = FrameRecorder(out_dir, cfg_yaml="input:\n  mode: offline\n")
     imu_buf: List[Tuple[int, Tuple, Tuple]] = []
-    last_fix: Optional[Dict] = None
+    fix_buf: List[Tuple[int, Dict]] = []
     last_imu: Optional[Dict] = None
     n_frames = 0
-    log_dir = None
+    a_scale = 1.0 if acc_in_g else 1.0 / 9.81
+    prev_stamp: Optional[int] = None
+    pending: Optional[Tuple[int, np.ndarray, Optional[np.ndarray]]] = None
+
+    def emit(stamp_ns, pts, t_rel, start_ns, end_ns):
+        """Write one frame whose scan spans [start_ns, end_ns)."""
+        nonlocal imu_buf, fix_buf, n_frames
+        ts_us = start_ns // 1000
+        rows = [[(i_ns - start_ns) / 1e9, *gyro,
+                 *(np.asarray(accel) * a_scale)]
+                for (i_ns, gyro, accel) in imu_buf
+                if start_ns <= i_ns < end_ns]
+        imu_buf = [r for r in imu_buf if r[0] >= end_ns]
+        ins = {}
+        ins_valid = False
+        fixes = [f for (f_ns, f) in fix_buf if f_ns <= end_ns]
+        fix_buf = [(f_ns, f) for (f_ns, f) in fix_buf if f_ns > end_ns]
+        if fixes:
+            fix = fixes[-1]
+            ins = dict(timestamp=ts_us,
+                       latitude=fix["latitude"],
+                       longitude=fix["longitude"],
+                       altitude=fix["altitude"],
+                       Status=max(fix["status"], 0),
+                       heading=0.0, pitch=0.0, roll=0.0,
+                       Ve=0.0, Vn=0.0, Vu=0.0)
+            if last_imu is not None:
+                ins.update(gyro_x=np.rad2deg(last_imu["gyro"][0]),
+                           gyro_y=np.rad2deg(last_imu["gyro"][1]),
+                           gyro_z=np.rad2deg(last_imu["gyro"][2]))
+            ins_valid = True
+        frame = dict(
+            frame_start_timestamp=ts_us,
+            frame_timestamp_monotonic=ts_us,
+            points={lidar_name: pts.astype(np.float32)},
+            points_attr={lidar_name: dict(
+                timestamp=ts_us,
+                points_attr=(np.stack([t_rel, np.zeros_like(t_rel)], 1)
+                             if t_rel is not None else
+                             np.zeros((len(pts), 2), np.float32)))},
+            image={}, image_param={},
+            lidar_valid=True, image_valid=False, radar_valid=False,
+            ins_valid=ins_valid, ins_data=ins,
+            imu_data=np.asarray(rows, np.float32).reshape(-1, 7),
+            motion_valid=False, motion_t=np.eye(4, dtype=np.float32),
+            timestep=max((end_ns - start_ns) // 1000, 1),
+        )
+        rec.write(frame)
+        n_frames += 1
+
+    last_period = 100_000_000
+
+    def on_cloud(stamp_ns, pts, t_rel):
+        nonlocal pending, prev_stamp, last_period
+        if prev_stamp is not None and stamp_ns > prev_stamp:
+            last_period = stamp_ns - prev_stamp
+        if stamp_at == "end":
+            emit(stamp_ns, pts, t_rel, stamp_ns - last_period, stamp_ns)
+        else:
+            if pending is not None:
+                p_stamp, p_pts, p_rel = pending
+                emit(p_stamp, p_pts, p_rel, p_stamp, stamp_ns)
+            pending = (stamp_ns, pts, t_rel)
+        prev_stamp = stamp_ns
 
     for topic, mtype, t_ns, raw in reader.read(
             [pointcloud_topic, imu_topic, gps_topic]):
+        if max_frames is not None and n_frames >= max_frames:
+            break
         if topic == imu_topic:
             m = parse_imu(raw)
             last_imu = m
             imu_buf.append((m["stamp_ns"] or t_ns, m["gyro"], m["accel"]))
-            if len(imu_buf) > 4096:
-                imu_buf = imu_buf[-2048:]
+            if len(imu_buf) > 8192:
+                imu_buf = imu_buf[-4096:]
         elif topic == gps_topic:
             if mtype == "sensor_msgs/NavSatFix":
-                last_fix = parse_navsatfix(raw)
+                m = parse_navsatfix(raw)
+                fix_buf.append((m["stamp_ns"] or t_ns, m))
         elif topic == pointcloud_topic:
             stamp_ns, pts, t_rel = parse_pointcloud2(raw)
             stamp_ns = stamp_ns or t_ns
@@ -417,49 +505,11 @@ def rosbag_to_pkl(bag_path: str, out_dir: str,
                 T = np.asarray(extrinsic_lidar, np.float32)
                 pts = np.concatenate(
                     [pts[:, :3] @ T[:3, :3].T + T[:3, 3], pts[:, 3:]], axis=1)
-            ts_us = stamp_ns // 1000
-            rows = []
-            for (i_ns, gyro, accel) in imu_buf:
-                if i_ns <= stamp_ns:
-                    a_scale = 1.0 if acc_in_g else 1.0 / 9.81
-                    rows.append([max(i_ns - stamp_ns, -200_000_000) / 1e9 + 0.2,
-                                 *gyro, *(np.asarray(accel) * a_scale)])
-            imu_buf = [r for r in imu_buf if r[0] > stamp_ns]
-            ins = {}
-            ins_valid = False
-            if last_fix is not None:
-                ins = dict(timestamp=ts_us,
-                           latitude=last_fix["latitude"],
-                           longitude=last_fix["longitude"],
-                           altitude=last_fix["altitude"],
-                           Status=max(last_fix["status"], 0),
-                           heading=0.0, pitch=0.0, roll=0.0,
-                           Ve=0.0, Vn=0.0, Vu=0.0)
-                if last_imu is not None:
-                    ins.update(gyro_x=np.rad2deg(last_imu["gyro"][0]),
-                               gyro_y=np.rad2deg(last_imu["gyro"][1]),
-                               gyro_z=np.rad2deg(last_imu["gyro"][2]))
-                ins_valid = True
-            frame = dict(
-                frame_start_timestamp=ts_us,
-                frame_timestamp_monotonic=ts_us,
-                points={lidar_name: pts.astype(np.float32)},
-                points_attr={lidar_name: dict(
-                    timestamp=ts_us,
-                    points_attr=(np.stack([t_rel, np.zeros_like(t_rel)], 1)
-                                 if t_rel is not None else
-                                 np.zeros((len(pts), 2), np.float32)))},
-                image={}, image_param={},
-                lidar_valid=True, image_valid=False, radar_valid=False,
-                ins_valid=ins_valid, ins_data=ins,
-                imu_data=np.asarray(rows, np.float32).reshape(-1, 7),
-                motion_valid=False, motion_t=np.eye(4, dtype=np.float32),
-                timestep=100000,
-            )
-            log_dir = rec.write(frame) or log_dir
-            n_frames += 1
-            if max_frames is not None and n_frames >= max_frames:
-                break
+            on_cloud(stamp_ns, pts, t_rel)
+    if pending is not None and (max_frames is None
+                                or n_frames < max_frames):
+        p_stamp, p_pts, p_rel = pending
+        emit(p_stamp, p_pts, p_rel, p_stamp, p_stamp + last_period)
     return rec.log_dir or out_dir
 
 
@@ -484,7 +534,10 @@ def pkl_to_rosbag(recording_dir: str, bag_path: str,
                 count += 1
             imu = np.asarray(frame.get("imu_data", np.zeros((0, 7))))
             for row in imu.reshape(-1, 7):
-                i_ns = t_ns + int((row[0] - 0.2) * 1e9)
+                # recordings carry either absolute us stamps or seconds
+                # relative to scan start (runtime convention)
+                i_ns = (int(row[0]) * 1000 if row[0] > 1e6
+                        else t_ns + int(row[0] * 1e9))
                 w.write(imu_topic, "sensor_msgs/Imu", max(i_ns, 0),
                         serialize_imu(max(i_ns, 0), row[1:4],
                                       np.asarray(row[4:7]) * 9.81))

@@ -100,8 +100,9 @@ class TestConverters:
         return path
 
     def test_rosbag_to_pkl(self, tmp_path):
+        # this bag is END-stamped: each cloud's IMU precedes its stamp
         bag = self._make_bag(str(tmp_path / "in.bag"))
-        out = rosbag_to_pkl(bag, str(tmp_path / "rec"))
+        out = rosbag_to_pkl(bag, str(tmp_path / "rec"), stamp_at="end")
         from lsd_tpu.io.player import FramePlayer
         frames = list(FramePlayer(out).iter_dicts())
         assert len(frames) == 3
@@ -125,3 +126,50 @@ class TestConverters:
         assert len(clouds) == 3
         _, pts, _ = parse_pointcloud2(clouds[0][3])
         assert pts.shape == (200, 4)
+
+
+class TestStartStampedConverter:
+    """Start-stamped bags (FAST-LIO/velodyne convention) with per-point
+    time fields: the scan-start-relative IMU window the runtime expects."""
+
+    def _make_start_bag(self, path, n_scans=3):
+        rng = np.random.default_rng(2)
+        with BagWriter(path) as w:
+            t0 = 10_000_000_000
+            for k in range(n_scans):
+                t = t0 + k * 100_000_000
+                pts = rng.normal(size=(150, 4)).astype(np.float32) * 5
+                trel = np.linspace(0, 0.099, 150).astype(np.float32)
+                w.write("/velodyne_points", "sensor_msgs/PointCloud2", t,
+                        serialize_pointcloud2(t, pts, t_rel=trel))
+                for j in range(10):    # IMU covering [t, t+0.1)
+                    it = t + j * 10_000_000
+                    w.write("/imu_raw", "sensor_msgs/Imu", it,
+                            serialize_imu(it, (0, 0, 0.05), (0, 0, 9.81)))
+        return path
+
+    def test_scan_start_window_and_point_times(self, tmp_path):
+        bag = self._make_start_bag(str(tmp_path / "s.bag"))
+        out = rosbag_to_pkl(bag, str(tmp_path / "rec"))
+        from lsd_tpu.io.player import FramePlayer
+        frames = list(FramePlayer(out).iter_dicts())
+        assert len(frames) == 3           # EOF flushes the held frame
+        for f in frames:
+            imu = f["imu_data"]
+            assert imu.shape[0] == 10
+            # rel stamps measured from SCAN START, inside [0, period)
+            assert imu[:, 0].min() >= 0.0 and imu[:, 0].max() < 0.1
+            np.testing.assert_allclose(np.diff(imu[:, 0]), 0.01, atol=1e-6)
+            # per-point times survive into points_attr[:, 0]
+            (name, attr), = f["points_attr"].items()
+            t = attr["points_attr"][:, 0]
+            assert t.min() == 0.0 and abs(t.max() - 0.099) < 1e-5
+
+    def test_pointcloud2_time_field_roundtrip(self):
+        pts = np.zeros((8, 4), np.float32)
+        trel = np.arange(8, dtype=np.float32) * 0.01
+        raw = serialize_pointcloud2(5_000_000_000, pts, t_rel=trel)
+        stamp, out, t = parse_pointcloud2(raw)
+        assert stamp == 5_000_000_000
+        np.testing.assert_allclose(t, trel, atol=1e-7)
+        assert out.shape == (8, 4)
