@@ -104,6 +104,7 @@ class SyntheticSceneConfig:
     sensor_z: float = 1.8
     n_walls: int = 6
     n_poles: int = 12
+    min_points_per_gt: int = 5    # realistic mode: drop near-invisible gts
 
 
 class SyntheticDetectionDataset:
@@ -144,8 +145,6 @@ class SyntheticDetectionDataset:
             cx, cy = rng.uniform(-cfg.xy_range, cfg.xy_range, 2)
             cz = dz / 2.0
             yaw = rng.uniform(-np.pi, np.pi)
-            boxes.append([cx, cy, cz, dx, dy, dz, yaw])
-            labels.append(cls)
             r = float(np.hypot(cx, cy))
             n = cfg.points_per_box
             if cfg.realistic:
@@ -160,9 +159,18 @@ class SyntheticDetectionDataset:
                 vis = np.einsum("ni,ni->n",
                                 normals @ R.T, sensor - world) > 0
                 world = world[vis]
+                # boxes the lidar barely sees are not labels: real
+                # datasets exclude <N-point objects from both training
+                # targets and eval recall (KITTI DontCare / WOD LEVEL
+                # filtering); without this, far occluded boxes put an
+                # unreachable floor under the AP
+                if len(world) < cfg.min_points_per_gt:
+                    continue
                 shadows.append((np.arctan2(cy, cx),
                                 np.arctan2(max(dx, dy) / 2, max(r, 1.0)),
                                 r))
+            boxes.append([cx, cy, cz, dx, dy, dz, yaw])
+            labels.append(cls)
             inten = rng.uniform(0, 1, (len(world), 1))
             pts.append(np.concatenate([world, inten], 1))
 
