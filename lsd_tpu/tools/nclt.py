@@ -72,13 +72,16 @@ def convert_nclt(velodyne_hits: str, out_dir: str,
         nonlocal frame_pts, prev_ts, n_frames
         if not frame_pts:
             return
-        pts = np.concatenate(frame_pts, axis=0)
+        pts = np.concatenate([p for (p, _t) in frame_pts], axis=0)
+        t_rel = np.concatenate([t for (_p, t) in frame_pts])
         frame_pts = []
+        attr = np.zeros((len(pts), 2), np.float32)
+        attr[:, 0] = t_rel
         frame = dict(
             frame_start_timestamp=ts, frame_timestamp_monotonic=ts,
             points={"0-Custom": pts},
             points_attr={"0-Custom": dict(
-                timestamp=ts, points_attr=np.zeros((len(pts), 2), np.float32))},
+                timestamp=ts, points_attr=attr)},
             image={}, image_param={},
             lidar_valid=True, image_valid=False, radar_valid=False,
             ins_valid=False, ins_data={}, motion_valid=False,
@@ -119,6 +122,10 @@ def convert_nclt(velodyne_hits: str, out_dir: str,
             frame_start = utime
             if max_frames is not None and n_frames >= max_frames:
                 return rec.log_dir
-        frame_pts.append(pts)
+        # per-point capture times from the packet utime: NCLT has no
+        # per-hit stamps, but packet granularity (~75 packets/rev)
+        # restores motion undistortion within the frame
+        t_rel = np.full(len(pts), (utime - frame_start) / 1e6, np.float32)
+        frame_pts.append((pts, t_rel))
     flush(frame_start if frame_start is not None else 0)
     return rec.log_dir

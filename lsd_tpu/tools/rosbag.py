@@ -491,7 +491,9 @@ def rosbag_to_pkl(bag_path: str, out_dir: str,
         if topic == imu_topic:
             m = parse_imu(raw)
             last_imu = m
-            imu_buf.append((m["stamp_ns"] or t_ns, m["gyro"], m["accel"]))
+            i_ns = m["stamp_ns"] or t_ns
+            if not imu_buf or i_ns > imu_buf[-1][0]:   # drop dup stamps
+                imu_buf.append((i_ns, m["gyro"], m["accel"]))
             if len(imu_buf) > 8192:
                 imu_buf = imu_buf[-4096:]
         elif topic == gps_topic:

@@ -281,3 +281,20 @@ class TestEditorUi:
         status, body = _post(url + "/v1/map-vertex-bin", {"id": 0})
         assert status == 200
         assert body == b""
+
+    def test_calibration_page_and_rpcs(self, server):
+        url, _ = server
+        status, body = _get(url + "/calibration")
+        assert status == 200 and b"calibration UI" in body
+        # the JSON-RPC methods the panels drive exist
+        for method, params in [
+                ("get_transform", [[0, 0, 0, 0, 0, 0]]),
+                ("restart_lidar_ins_calibration", []),
+                ("calibration.lidar_ins_get_positions", []),
+                ("restart_lidar_imu_calibration", []),
+                ("calibration.lidar_imu_get_positions", [])]:
+            status, out = _post(url + "/api", {
+                "jsonrpc": "2.0", "id": 1, "method": method,
+                "params": params})
+            assert status == 200
+            assert b"error" not in out or b"unknown" not in out
