@@ -79,6 +79,65 @@ def ap_3d(pred_boxes: Sequence[np.ndarray], pred_scores: Sequence[np.ndarray],
                 n_pred=len(records))
 
 
+def _iou2d_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Axis-aligned xyxy IoU (camera 2D detection)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
+    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+    return (inter / np.clip(area_a[:, None] + area_b[None, :] - inter,
+                            1e-6, None)).astype(np.float32)
+
+
+def ap_2d(pred_boxes: Sequence[np.ndarray], pred_scores: Sequence[np.ndarray],
+          gt_boxes: Sequence[np.ndarray], iou_thresh: float = 0.5
+          ) -> Dict[str, float]:
+    """2D AP over frames of xyxy boxes (the camera/trafficlight metric);
+    same greedy matching + all-point interpolation as ap_3d."""
+    records: List[Tuple[float, bool]] = []
+    n_gt = 0
+    for pb, ps, gb in zip(pred_boxes, pred_scores, gt_boxes):
+        pb = np.asarray(pb, np.float32).reshape(-1, 4)
+        ps = np.asarray(ps, np.float32).reshape(-1)
+        gb = np.asarray(gb, np.float32).reshape(-1, 4)
+        n_gt += len(gb)
+        if not len(pb):
+            continue
+        order = np.argsort(-ps)
+        iou = _iou2d_matrix(pb, gb)
+        taken = np.zeros(len(gb), bool)
+        for i in order:
+            j = -1
+            if len(gb):
+                cand = np.where(~taken, iou[i], -1.0)
+                j = int(cand.argmax())
+                if cand[j] < iou_thresh:
+                    j = -1
+            if j >= 0:
+                taken[j] = True
+                records.append((float(ps[i]), True))
+            else:
+                records.append((float(ps[i]), False))
+    if not records or n_gt == 0:
+        return dict(ap=0.0, precision=0.0, recall=0.0, n_gt=n_gt,
+                    n_pred=len(records))
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([not r[1] for r in records])
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+    ap = float(np.sum(np.diff(np.concatenate([[0.0], recall])) * prec_env))
+    return dict(ap=ap, precision=float(precision[-1]),
+                recall=float(recall[-1]), n_gt=int(n_gt),
+                n_pred=len(records))
+
+
 def evaluate_frames(frames: Sequence[Dict], iou_thresh: Dict[int, float]
                     | float = 0.7) -> Dict[int, Dict[str, float]]:
     """Per-class AP over frames of {boxes, scores, labels, gt_boxes,

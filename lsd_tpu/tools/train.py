@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh-dp", type=int, default=0,
                     help="shard batches over N devices (0 = single device)")
     ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--eval-batches", type=int, default=4,
+                    help="held-out batches for the AP eval")
     ap.add_argument("--realistic", action="store_true",
                     help="lidar-realistic synthetic scenes (1/r density, "
                          "face visibility, shadows, wall/pole clutter)")
@@ -63,7 +65,7 @@ def main(argv=None) -> int:
         ds = SyntheticDetectionDataset(scfg, batch_size=args.batch)
         batches = ds.batches(args.steps)
         eval_batches = list(SyntheticDetectionDataset(
-            scfg, batch_size=args.batch, seed=999).batches(4))
+            scfg, batch_size=args.batch, seed=999).batches(args.eval_batches))
 
     out = trainer.fit(batches, eval_batches=eval_batches,
                       eval_every=args.eval_every)
