@@ -24,11 +24,23 @@ from .pipeline import Module
 
 class CameraUnit:
     def __init__(self, name: str, source, intrinsic=None, extrinsic=None,
-                 jpeg_quality: int = 85):
+                 jpeg_quality: int = 85, cam_cfg: Optional[Dict] = None):
         if not HAS_CV2:
             raise RuntimeError("cv2 unavailable; camera source disabled")
         self.name = name
-        self.cap = cv2.VideoCapture(source)
+        # prefer a gstreamer pipeline built from the camera config
+        # (flip/crop/scale/undistort chain like the reference's
+        # _generate_cap_string) when OpenCV has the backend
+        self.cap = None
+        if cam_cfg:
+            from .gst_caps import build_cap_string, cv2_has_gstreamer
+            cap_str = build_cap_string(dict(cam_cfg, name=name))
+            if cap_str and cv2_has_gstreamer():
+                cap = cv2.VideoCapture(cap_str, cv2.CAP_GSTREAMER)
+                if cap.isOpened():
+                    self.cap = cap
+        if self.cap is None:
+            self.cap = cv2.VideoCapture(source)
         if not self.cap.isOpened():
             raise OSError(f"camera source {source!r} failed to open")
         self.intrinsic = intrinsic
@@ -72,7 +84,8 @@ class CameraSource(Module):
                     name=str(cc.get("name", len(self.units))),
                     source=cc.get("source", cc.get("device", 0)),
                     intrinsic=cc.get("intrinsic"),
-                    extrinsic=cc.get("extrinsic")))
+                    extrinsic=cc.get("extrinsic"),
+                    cam_cfg=cc))
             except (OSError, RuntimeError) as e:
                 self.logger.warning("camera %s unavailable: %s", cc.get("name"), e)
 
