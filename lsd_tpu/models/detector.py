@@ -138,8 +138,19 @@ def detection_loss(preds: dict, targets: dict) -> Tuple[jax.Array, dict]:
 
     m = targets["reg_mask"][..., None]
     reg_loss = 0.0
-    for k in ("offset", "z", "dim", "rot"):
+    for k in ("offset", "z", "dim"):
         reg_loss = reg_loss + jnp.sum(jnp.abs(preds[k].astype(jnp.float32) - targets[k]) * m)
+    # rotation: pi-symmetric L1 — a cuboid's geometry (and the rotated
+    # IoU the AP uses) is invariant under theta -> theta + pi, which
+    # flips the (sin, cos) target's sign.  Plain L1 averages the two
+    # branches to zero on symmetric objects and the heading collapses;
+    # min over both signs converges to the folded angle, and on real
+    # asymmetric data the consistent branch wins early
+    rp = preds["rot"].astype(jnp.float32)
+    rt = targets["rot"]
+    l_rot = jnp.minimum(jnp.sum(jnp.abs(rp - rt), -1, keepdims=True),
+                        jnp.sum(jnp.abs(rp + rt), -1, keepdims=True))
+    reg_loss = reg_loss + jnp.sum(l_rot * m)
     reg_loss = reg_loss / jnp.maximum(jnp.sum(m), 1.0)
 
     loss = hm_loss + 2.0 * reg_loss

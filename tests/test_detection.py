@@ -240,3 +240,31 @@ def test_reference_capacity_config_shapes():
     assert cfg.grid_hw == (640, 640)
     assert cfg.head_hw == (320, 320)
     assert cfg.pc_range[3] == 64.0 and cfg.voxel_size[0] == 0.2
+
+
+def test_rotation_loss_is_pi_symmetric():
+    """L(rot_pred, theta) == L(rot_pred, theta + pi): a cuboid's geometry
+    (and rotated IoU) can't tell the two apart, so neither may the loss —
+    plain L1 collapses heading to zero on symmetric training objects."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lsd_tpu.models import DetectorConfig, make_target_maps
+    from lsd_tpu.models.detector import detection_loss
+
+    cfg = DetectorConfig(pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+                         voxel_size=(0.5, 0.5, 6.0), max_voxels=256,
+                         max_points_per_voxel=4, max_boxes=4)
+    H, W = cfg.grid_hw
+    rng = np.random.default_rng(0)
+    preds = dict(heatmap=jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32),
+                 offset=jnp.zeros((H, W, 2)), z=jnp.zeros((H, W, 1)),
+                 dim=jnp.zeros((H, W, 3)),
+                 rot=jnp.asarray(rng.normal(size=(H, W, 2)), jnp.float32))
+    th = 0.8
+    losses = []
+    for theta in (th, th + np.pi):
+        gt = jnp.asarray([[1.0, -2.0, 0.4, 4.0, 2.0, 1.6, theta]], jnp.float32)
+        t = make_target_maps(cfg, gt, jnp.zeros(1, jnp.int32),
+                             jnp.ones(1, bool))
+        losses.append(float(detection_loss(preds, t)[0]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
