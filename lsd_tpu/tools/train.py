@@ -68,7 +68,8 @@ def main(argv=None) -> int:
             scfg, batch_size=args.batch, seed=999).batches(args.eval_batches))
 
     out = trainer.fit(batches, eval_batches=eval_batches,
-                      eval_every=args.eval_every)
+                      eval_every=args.eval_every,
+                      ckpt_path=args.out if args.eval_every else None)
     metrics = trainer.evaluate(eval_batches)
     path = trainer.save(args.out)
     print(f"trained {out['steps']} steps, final loss {out['final_loss']:.4f}, "

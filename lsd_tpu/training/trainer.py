@@ -103,7 +103,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, batches: Iterator[Dict[str, np.ndarray]],
             eval_batches: Optional[list] = None,
-            eval_every: int = 0) -> Dict:
+            eval_every: int = 0,
+            ckpt_path: Optional[str] = None) -> Dict:
         cfg = self.cfg
         t0 = time.monotonic()
         history = []
@@ -122,6 +123,9 @@ class Trainer:
             if eval_every and eval_batches and self.step % eval_every == 0:
                 metrics = self.evaluate(eval_batches)
                 self.logger.info("step %d eval %s", self.step, metrics)
+                if ckpt_path:
+                    self.save(ckpt_path)
+                    self.logger.info("checkpoint -> %s", ckpt_path)
         return dict(steps=self.step, final_loss=float(jax.device_get(loss)),
                     history=history)
 
