@@ -19,5 +19,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache (tests-only dir): the 330-test suite
+# compiles hundreds of XLA CPU programs in one process; caching makes
+# rerun compiles near-free and shrinks exposure to a rare LLVM-JIT
+# compile crash observed in very long single-process runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/lsd_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
