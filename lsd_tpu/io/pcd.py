@@ -15,6 +15,15 @@ _TYPE_MAP = {("F", 4): np.float32, ("F", 8): np.float64,
 
 def read_pcd(path: str) -> np.ndarray:
     """Read a PCD file, returning an (N, F) float32 array of its fields."""
+    return read_pcd_fields(path)[0]
+
+
+def read_pcd_fields(path: str):
+    """Read a PCD file -> ((N, F) float32 array, list of column names).
+
+    Multi-count fields expand to ``name``-indexed columns; names let
+    callers find packed-``rgb`` vs split r/g/b colour layouts.
+    """
     with open(path, "rb") as f:
         header = {}
         while True:
@@ -32,14 +41,17 @@ def read_pcd(path: str) -> np.ndarray:
         n = int(header["POINTS"])
         dtype = np.dtype([(name if c == 1 else name, _TYPE_MAP[(t, s)], (c,) if c > 1 else ())
                           for name, s, t, c in zip(fields, sizes, types, counts)])
+        names = []
+        for name, c in zip(fields, counts):
+            names.extend([name] if c == 1 else [f"{name}{i}" for i in range(c)])
         if header["DATA"] == "ascii":
             body = np.loadtxt(f, dtype=np.float64, max_rows=n)
             body = body.reshape(n, -1)
-            return body.astype(np.float32)
+            return body.astype(np.float32), names
         elif header["DATA"] == "binary":
             raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
             cols = [np.asarray(raw[name], dtype=np.float32).reshape(n, -1) for name in raw.dtype.names]
-            return np.concatenate(cols, axis=1)
+            return np.concatenate(cols, axis=1), names
         else:
             raise ValueError(f"unsupported PCD DATA: {header['DATA']}")
 

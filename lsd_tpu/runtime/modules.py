@@ -120,6 +120,14 @@ class PlayerSource(Module):
         return d
 
 
+def register_static_slam_tools() -> None:
+    """Stateless SLAM tool interfaces that need no live engine — the
+    offline part of the reference's slam_wrapper surface
+    (slam_wrapper.cpp:307 texture_mesh)."""
+    from ..slam.mesh import texture_mesh
+    register_interface("slam.texture_mesh", texture_mesh)
+
+
 class SlamModule(Module):
     """SLAM stage hosting the Mapper or Localizer."""
 
@@ -131,6 +139,7 @@ class SlamModule(Module):
         self.last_pose = np.eye(4)
         register_interface("slam.get_pose", lambda: self.last_pose.tolist())
         register_interface("slam.get_timed_pose", self._get_timed_pose)
+        register_static_slam_tools()
 
     def _get_timed_pose(self, ts_us):
         """High-rate pose between scans (ref slam.cpp getTimedPose)."""
