@@ -1,13 +1,37 @@
 """Logging setup (ref: util/log.py:12-29 — colorlog with process/thread ids;
-we use stdlib logging with the same record fields, no extra deps)."""
+we use stdlib logging with the same record fields, no extra deps).
+
+A bounded in-memory ring of recent records backs the web UI's Dev log
+view (the reference ships journal/log panes in web_ui components/dev/Log)."""
 from __future__ import annotations
 
+import collections
 import logging
 import os
 import sys
+import threading
 
 _FMT = "%(asctime)s %(levelname).1s [%(process)d:%(threadName)s] %(name)s: %(message)s"
 _configured = False
+_ring: collections.deque = collections.deque(maxlen=500)
+_ring_lock = threading.Lock()
+
+
+class _RingHandler(logging.Handler):
+    def emit(self, record: logging.LogRecord) -> None:
+        try:
+            line = self.format(record)
+        except Exception:
+            return
+        with _ring_lock:
+            _ring.append(line)
+
+
+def get_recent_logs(n: int = 200) -> list:
+    """Most recent formatted log lines (oldest first)."""
+    with _ring_lock:
+        items = list(_ring)
+    return items[-n:]
 
 
 def get_logger(name: str = "lsd_tpu", level: str = "INFO") -> logging.Logger:
@@ -15,8 +39,11 @@ def get_logger(name: str = "lsd_tpu", level: str = "INFO") -> logging.Logger:
     if not _configured:
         h = logging.StreamHandler(sys.stderr)
         h.setFormatter(logging.Formatter(_FMT))
+        rh = _RingHandler()
+        rh.setFormatter(logging.Formatter(_FMT))
         root = logging.getLogger("lsd_tpu")
         root.addHandler(h)
+        root.addHandler(rh)
         root.setLevel(os.environ.get("LSD_TPU_LOG_LEVEL", level))
         root.propagate = False
         _configured = True

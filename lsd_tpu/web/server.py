@@ -163,6 +163,9 @@ class PerceptionServer:
         r[("GET", "/v1/get-imu-position-points")] = \
             lambda q: self._proto_bytes("calibration.get_imu_position_points",
                                         p.get_config())
+        # dev page (ref web_ui components/dev: Log, BoardConfig, dump)
+        r[("GET", "/v1/log")] = self._recent_log
+        r[("POST", "/v1/log-level")] = self._set_log_level
         r[("GET", "/v1/get-panorama")] = \
             lambda q: self._proto_bytes("calibration.get_panorama")
         r[("GET", "/v1/set-panorama-config")] = self._set_panorama_config
@@ -428,7 +431,28 @@ class PerceptionServer:
                 images[name] = base64.b64encode(bytes(img)).decode()
         if images:
             out["images_b64"] = images
+        fs = frame.get("freespace")
+        if isinstance(fs, dict) and fs.get("cells") is not None:
+            out["freespace"] = {k: fs[k] for k in
+                                ("x_min", "x_max", "y_min", "y_max",
+                                 "resolution", "x_num", "y_num") if k in fs}
+            out["freespace"]["cells_b64"] = base64.b64encode(
+                bytes(fs["cells"])).decode()
         return out
+
+    def _recent_log(self, q: Dict) -> Dict:
+        from ..utils.log import get_recent_logs
+        try:
+            n = int(q.get("n", 200)) if isinstance(q, dict) else 200
+        except (TypeError, ValueError):
+            n = 200
+        return {"lines": get_recent_logs(n)}
+
+    def _set_log_level(self, body: Dict) -> Dict:
+        from ..utils.log import set_logger_level
+        level = str((body or {}).get("level", "INFO"))
+        set_logger_level(level)
+        return {"status": "ok", "level": level.upper()}
 
     def _call_ok(self, name: str, *args) -> Dict:
         if not has_interface(name):
@@ -570,6 +594,10 @@ class PerceptionServer:
                     self.end_headers()
                     return
                 body: Dict = {}
+                if method == "GET" and "?" in self.path:
+                    from urllib.parse import parse_qs
+                    body = {k: v[0] for k, v in
+                            parse_qs(self.path.split("?", 1)[1]).items()}
                 if method == "POST":
                     ln = int(self.headers.get("Content-Length", 0))
                     raw = self.rfile.read(ln) if ln else b""

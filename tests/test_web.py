@@ -298,3 +298,71 @@ class TestEditorUi:
                 "params": params})
             assert status == 200
             assert b"error" not in out or b"unknown" not in out
+
+
+class TestDevPageRoutes:
+    def test_log_route_and_level(self, server):
+        url, _ = server
+        from lsd_tpu.utils.log import get_logger
+        get_logger("web-test").info("hello-from-test")
+        status, body = _get(url + "/v1/log?n=500")
+        assert status == 200
+        lines = json.loads(body)["lines"]
+        assert any("hello-from-test" in ln for ln in lines)
+        # n is respected
+        status, body = _get(url + "/v1/log?n=1")
+        assert len(json.loads(body)["lines"]) == 1
+        status, body = _post(url + "/v1/log-level", {"level": "warning"})
+        assert json.loads(body)["level"] == "WARNING"
+        import logging
+        assert logging.getLogger("lsd_tpu").level == logging.WARNING
+        _post(url + "/v1/log-level", {"level": "INFO"})
+
+    def test_detection_json_carries_freespace(self, server):
+        url, p = server
+        from lsd_tpu.runtime.interface import register_interface
+        frame = make_frame_dict(ts=123)
+        frame["freespace"] = dict(x_min=-10.0, x_max=10.0, y_min=-10.0,
+                                  y_max=10.0, resolution=0.5, x_num=40,
+                                  y_num=40, cells=b"\x01" * 1600)
+        register_interface("databank.get_latest", lambda: frame)
+        status, body = _post(url + "/v1/detection-json")
+        d = json.loads(body)
+        assert d["valid"] and "freespace" in d
+        assert d["freespace"]["x_num"] == 40
+        import base64
+        assert base64.b64decode(d["freespace"]["cells_b64"]) == b"\x01" * 1600
+
+
+class TestUiStaticConsistency:
+    """The built-in pages are plain JS with no build step, so guard the
+    easy-to-break invariants statically: every $("id") lookup resolves to
+    a DOM id, and brackets stay balanced."""
+
+    @pytest.mark.parametrize("page", ["index.html", "editor.html",
+                                      "calibration.html"])
+    def test_dom_ids_and_balance(self, page):
+        import os
+        import re
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "lsd_tpu", "web", "www", page)
+        html = open(path).read()
+        ids = set(re.findall(r'id="([^"]+)"', html))
+        js = "".join(re.findall(r"<script>(.*?)</script>", html, re.S))
+        for ref in re.findall(r'\$\("([^"]+)"\)', js):
+            assert ref in ids, f"{page}: $(\"{ref}\") has no DOM id"
+        for o, c in [("{", "}"), ("(", ")"), ("[", "]")]:
+            # strings/comments can skew counts only if unbalanced overall
+            assert abs(js.count(o) - js.count(c)) == 0, f"{page}: {o}{c}"
+
+    def test_index_i18n_keys_covered(self):
+        import os
+        import re
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "lsd_tpu", "web", "www", "index.html")
+        html = open(path).read()
+        js = "".join(re.findall(r"<script>(.*?)</script>", html, re.S))
+        zh = set(re.findall(r'"([^"]+)": "[^"]*"', js.split("const ZH")[1]
+                            .split("};")[0]))
+        for key in re.findall(r'data-i18n="([^"]+)"', html):
+            assert key in zh, f"data-i18n key {key} missing a zh entry"
