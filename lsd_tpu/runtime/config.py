@@ -75,7 +75,7 @@ DEFAULT_CONFIG: Dict[str, Any] = dict(
     ins=dict(use=False, extrinsic_parameters=[0, 0, 0, 0, 0, 0],
              imu_extrinsic_parameters=[0, 0, 0, 0, 0, 0]),
     detection=dict(enable=False, score_threshold=[0.3, 0.35, 0.35],
-                   accum_frames=2, weights=""),
+                   accum_frames=2, weights="", capacity="default"),
     slam=dict(mode="mapping", method="FastLIO",
               map_path="", resolution=0.5,
               key_frames_interval=[2.0, 0.2618],

@@ -436,7 +436,13 @@ class DetectModule(Module):
         if bool(getattr(cfg.detection, "enable", False)):
             try:
                 from ..models import DetectorConfig
-                self.det_cfg_ref = DetectorConfig()
+                # capacity "reference" selects the ±64 m / 0.2 m-pillar /
+                # 640² model (the class the reference deploys:
+                # cfgs/detection_object.yaml); weights must match it
+                cap = str(getattr(cfg.detection, "capacity", "default"))
+                self.det_cfg_ref = (DetectorConfig.reference_capacity()
+                                    if cap == "reference"
+                                    else DetectorConfig())
                 self.predict_fn = build_detector_predict_fn(
                     weights=getattr(cfg.detection, "weights", None),
                     det_cfg=self.det_cfg_ref, with_seg=True)
