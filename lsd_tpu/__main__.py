@@ -27,6 +27,13 @@ def cmd_run(args) -> int:
     p.start()
     srv = PerceptionServer(p)
     port = srv.start(host=args.host, port=args.port)
+    # upgrade daemon on web-port+500 (ref web_ui rpc/http-upgrade.ts PORT)
+    from .web import UpgradeServer
+    upgrade = UpgradeServer()
+    try:
+        upgrade.start(host=args.host, port=port + 500)
+    except OSError:
+        upgrade = None
     print(f"lsd_tpu serving on {args.host}:{port}", flush=True)
     try:
         while True:
@@ -35,6 +42,8 @@ def cmd_run(args) -> int:
         pass
     finally:
         srv.stop()
+        if upgrade:
+            upgrade.stop()
         p.release()
     return 0
 

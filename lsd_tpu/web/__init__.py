@@ -1,1 +1,2 @@
 from .server import PerceptionServer
+from .upgrade import UpgradeManager, UpgradeServer
