@@ -124,6 +124,38 @@ def make_target_maps(cfg: DetectorConfig, gt_boxes: jax.Array, gt_labels: jax.Ar
                 reg_mask=reg_mask)
 
 
+def make_seg_target(cfg: DetectorConfig, points: jax.Array, mask: jax.Array,
+                    ground_z: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Drivable-area BEV segmentation targets from scan geometry.
+
+    The reference trains a BEV freespace head on occupancy-style labels
+    (segment_head_bev.py, CLASS_NAMES ['drivable_area', 'obstacle']); here
+    the label is derived from the cloud itself: a head cell is DRIVABLE if
+    it contains returns and they are all low and flat (z-span and max-z
+    under thresholds), OBSTACLE if anything tall sticks out, and UNKNOWN
+    (masked out of the loss) when empty.
+
+    Returns (seg (H, W) float 0/1, seg_mask (H, W) float 0/1 observed).
+    """
+    H, W = cfg.head_hw
+    vx = cfg.voxel_size[0] * cfg.bev_stride
+    vy = cfg.voxel_size[1] * cfg.bev_stride
+    cx = jnp.floor((points[:, 0] - cfg.pc_range[0]) / vx).astype(jnp.int32)
+    cy = jnp.floor((points[:, 1] - cfg.pc_range[1]) / vy).astype(jnp.int32)
+    ok = mask & (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    flat = jnp.where(ok, cy * W + cx, H * W)
+    z = points[:, 2]
+    zmax = jnp.full((H * W + 1,), -1e9, jnp.float32).at[flat].max(
+        jnp.where(ok, z, -1e9), mode="drop")[:H * W]
+    zmin = jnp.full((H * W + 1,), 1e9, jnp.float32).at[flat].min(
+        jnp.where(ok, z, 1e9), mode="drop")[:H * W]
+    observed = (zmax > -1e8).astype(jnp.float32)
+    flat_cell = (zmax - zmin) < 0.25
+    low_cell = zmax < (ground_z + 0.3)     # near the ground band
+    drivable = (flat_cell & low_cell).astype(jnp.float32) * observed
+    return drivable.reshape(H, W), observed.reshape(H, W)
+
+
 def detection_loss(preds: dict, targets: dict) -> Tuple[jax.Array, dict]:
     """Focal heatmap loss + masked L1 regression (CenterPoint)."""
     hm = jax.nn.sigmoid(preds["heatmap"].astype(jnp.float32))
@@ -154,4 +186,17 @@ def detection_loss(preds: dict, targets: dict) -> Tuple[jax.Array, dict]:
     reg_loss = reg_loss / jnp.maximum(jnp.sum(m), 1.0)
 
     loss = hm_loss + 2.0 * reg_loss
-    return loss, dict(hm_loss=hm_loss, reg_loss=reg_loss)
+
+    # freespace BEV segmentation (when targets carry seg/seg_mask):
+    # masked BCE over observed cells — the role of the reference's
+    # segment_head_bev drivable_area training
+    aux = dict(hm_loss=hm_loss, reg_loss=reg_loss)
+    if "seg" in targets:
+        sl = preds["seg"][..., 0].astype(jnp.float32)
+        sm = targets["seg_mask"]
+        st = targets["seg"]
+        bce = jnp.maximum(sl, 0.0) - sl * st + jnp.log1p(jnp.exp(-jnp.abs(sl)))
+        seg_loss = jnp.sum(bce * sm) / jnp.maximum(jnp.sum(sm), 1.0)
+        loss = loss + seg_loss
+        aux["seg_loss"] = seg_loss
+    return loss, aux

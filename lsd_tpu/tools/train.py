@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-capacity", action="store_true",
                     help="train the reference-capacity model (+-64 m, "
                          "0.2 m pillars, 640^2 grid)")
+    ap.add_argument("--init", default=None,
+                    help="warm-start from an existing checkpoint")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,6 +55,8 @@ def main(argv=None) -> int:
     trainer = Trainer(det_cfg=det_cfg,
                       cfg=TrainerConfig(lr=args.lr, total_steps=args.steps),
                       mesh=mesh)
+    if args.init:
+        trainer.load(args.init)
     if args.data:
         ds = LabeledFrameDataset(args.data, batch_size=args.batch)
         batches = ds.batches(epochs=max(1, args.steps // max(len(ds), 1)))

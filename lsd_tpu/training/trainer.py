@@ -67,6 +67,11 @@ class Trainer:
             def one(pts, msk, gb, gl, gm):
                 preds = model.apply(params, pts, msk)
                 targets = make_target_maps(det_cfg, gb, gl, gm)
+                # freespace head trains against geometric drivable-area
+                # labels from the same scan (ref segment_head_bev role)
+                from ..models.detector import make_seg_target
+                targets["seg"], targets["seg_mask"] = make_seg_target(
+                    det_cfg, pts, msk)
                 loss, aux = detection_loss(preds, targets)
                 return loss, aux
             losses, aux = jax.vmap(one)(batch["points"], batch["mask"],
@@ -137,6 +142,7 @@ class Trainer:
         from ..detection.post import PostProcessConfig, postprocess
 
         model = self.model
+        det_cfg = self.det_cfg
         post_cfg = PostProcessConfig(
             score_thresh=(score_thresh,) * self.det_cfg.num_classes)
 
@@ -144,14 +150,25 @@ class Trainer:
         def infer(params, pts, msk):
             preds = model.apply(params, pts, msk)
             boxes, scores, labels, mask = model.decode(preds)
-            return postprocess(post_cfg, boxes, scores, labels, mask)
+            # seg IoU vs the geometric drivable-area labels
+            from ..models.detector import make_seg_target
+            seg_t, seg_m = make_seg_target(det_cfg, pts, msk)
+            seg_p = (preds["seg"][..., 0] > 0.0).astype(jnp.float32) * seg_m
+            seg_t = seg_t * seg_m
+            inter = jnp.sum(seg_p * seg_t)
+            union = jnp.sum(jnp.maximum(seg_p, seg_t))
+            return postprocess(post_cfg, boxes, scores, labels, mask) \
+                + (inter, union)
 
         frames = []
+        seg_inter = seg_union = 0.0
         for batch in batches:
             for b in range(len(batch["points"])):
-                boxes, scores, labels, keep = jax.device_get(infer(
+                boxes, scores, labels, keep, s_i, s_u = jax.device_get(infer(
                     self.params, jnp.asarray(batch["points"][b]),
                     jnp.asarray(batch["mask"][b])))
+                seg_inter += float(s_i)
+                seg_union += float(s_u)
                 k = np.asarray(keep, bool)
                 gm = np.asarray(batch["gt_mask"][b], bool)
                 frames.append(dict(
@@ -164,6 +181,7 @@ class Trainer:
         mean_ap = (float(np.mean([m["ap"] for m in per_class.values()]))
                    if per_class else 0.0)
         return dict(mean_ap=mean_ap,
+                    seg_iou=round(seg_inter / max(seg_union, 1.0), 4),
                     per_class={k: v["ap"] for k, v in per_class.items()})
 
     # ------------------------------------------------------------------

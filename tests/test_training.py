@@ -120,3 +120,55 @@ class TestLabeledDataset:
         assert b["gt_mask"][0].sum() == 1
         np.testing.assert_allclose(b["gt_boxes"][0][0],
                                    [1.0, 2, 0.5, 4, 2, 1.5, 0.2])
+
+
+class TestSegTraining:
+    """Freespace BEV head training (ref segment_head_bev drivable_area)."""
+
+    def test_seg_target_geometry(self):
+        import jax.numpy as jnp
+        from lsd_tpu.models import DetectorConfig
+        from lsd_tpu.models.detector import make_seg_target
+
+        cfg = DetectorConfig()
+        H, W = cfg.head_hw
+        vx = cfg.voxel_size[0] * cfg.bev_stride
+        # one flat ground patch at (10, 10), one tall pole at (-10, -10),
+        # rest unobserved
+        g = np.stack([np.full(50, 10.0) + np.linspace(0, 0.2, 50),
+                      np.full(50, 10.0), np.random.default_rng(0).normal(
+                          0, 0.01, 50), np.zeros(50)], 1)
+        p = np.stack([np.full(30, -10.0), np.full(30, -10.0),
+                      np.linspace(0, 3, 30), np.zeros(30)], 1)
+        pts = np.concatenate([g, p]).astype(np.float32)
+        seg, segm = make_seg_target(cfg, jnp.asarray(pts),
+                                    jnp.ones(len(pts), bool))
+        seg, segm = np.asarray(seg), np.asarray(segm)
+        gx = int((10.0 - cfg.pc_range[0]) / vx)
+        gy = int((10.0 - cfg.pc_range[1]) / vx)
+        px = int((-10.0 - cfg.pc_range[0]) / vx)
+        py = int((-10.0 - cfg.pc_range[1]) / vx)
+        assert seg[gy, gx] == 1.0 and segm[gy, gx] == 1.0   # flat ground
+        assert seg[py, px] == 0.0 and segm[py, px] == 1.0   # pole cell
+        assert segm[0, 0] == 0.0                            # unobserved
+        # loss only counts observed cells
+        assert segm.sum() < 10
+
+    def test_seg_loss_trains_the_head(self):
+        from lsd_tpu.training.data import SyntheticSceneConfig
+        tr = small_trainer(steps=25)
+        ds = SyntheticDetectionDataset(
+            SyntheticSceneConfig(clutter_points=2048, realistic=True),
+            point_capacity=2 ** 12, batch_size=1, seed=5)
+        losses = []
+        for b in ds.batches(25):
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            tr.params, tr.opt_state, loss, aux = tr._train_step(
+                tr.params, tr.opt_state, jb)
+            losses.append(float(jax.device_get(aux["seg_loss"])))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])  # head is learning
+        m = tr.evaluate(list(SyntheticDetectionDataset(
+            SyntheticSceneConfig(clutter_points=2048, realistic=True),
+            point_capacity=2 ** 12, batch_size=1, seed=9).batches(1)))
+        assert "seg_iou" in m and 0.0 <= m["seg_iou"] <= 1.0
