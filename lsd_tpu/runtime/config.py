@@ -76,6 +76,7 @@ DEFAULT_CONFIG: Dict[str, Any] = dict(
              imu_extrinsic_parameters=[0, 0, 0, 0, 0, 0]),
     detection=dict(enable=False, score_threshold=[0.3, 0.35, 0.35],
                    accum_frames=2, weights="", capacity="default"),
+    trafficlight=dict(enable=False, weights="", lights=[], camera=None),
     slam=dict(mode="mapping", method="FastLIO",
               map_path="", resolution=0.5,
               key_frames_interval=[2.0, 0.2618],
