@@ -68,7 +68,7 @@ RESET_KEYS = ("pipeline", "lidar", "camera", "radar", "ins", "detection", "slam"
 
 
 DEFAULT_CONFIG: Dict[str, Any] = dict(
-    board=dict(name="tpu-dev"),
+    board=dict(name="tpu-dev", network=[]),
     input=dict(mode="offline", data_path=""),
     pipeline=[["Source", "SLAM", "Sink"]],
     lidar=[], camera=[], radar=[],

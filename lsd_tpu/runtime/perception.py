@@ -72,6 +72,12 @@ class Perception:
         return self.config_manager.config.to_dict()
 
     def set_config(self, new: Dict) -> str:
+        # reject invalid network / output destinations before anything
+        # applies (ref config_manager.py:11 network_validation gate)
+        from ..utils.network import network_validation
+        ok, msg = network_validation(new if isinstance(new, dict) else {})
+        if not ok:
+            return msg
         result = self.config_manager.set_config(new)
         if result == CheckResult.RESET and self.module_manager is not None:
             self.release()
