@@ -57,6 +57,44 @@ class PillarVFE(nn.Module):
         return jnp.where(jnp.isfinite(x), x, 0.0)
 
 
+def scatter_to_voxel_bev(features: jax.Array, coords: jax.Array,
+                         vmask: jax.Array, grid_hw: Tuple[int, int],
+                         grid_z: int) -> jax.Array:
+    """Scatter 3D-voxel features (V, C) into a dense height-compressed BEV
+    image (H, W, Z*C): each z-bin becomes a channel group.
+
+    This is the dense-TPU equivalent of the reference's height compression
+    after its sparse 3D backbone (point_pillar.py to_bev reshape of the
+    spconv volume): instead of sparse 3D convolutions followed by a z-stack,
+    the z-stack happens at scatter time and dense 2D convolutions (MXU)
+    carry the FLOPs.  coords are (V, 3) [z, y, x]."""
+    H, W = grid_hw
+    C = features.shape[-1]
+    flat = jnp.where(vmask,
+                     (coords[:, 1] * W + coords[:, 2]) * grid_z + coords[:, 0],
+                     H * W * grid_z)
+    vol = jnp.zeros((H * W * grid_z + 1, C), features.dtype)
+    vol = vol.at[flat].add(features)
+    return vol[:H * W * grid_z].reshape(H, W, grid_z * C)
+
+
+class VoxelHeightEncoder(nn.Module):
+    """Lift a height-compressed MeanVFE volume (H, W, Z*C) to backbone
+    channels with a 1x1 conv — the role of the reference's last sparse-conv
+    stage mixing height information into BEV channels
+    (spconv_backbone.py conv_out)."""
+    num_filters: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, vol: jax.Array) -> jax.Array:
+        x = nn.Conv(self.num_filters, (1, 1), dtype=self.dtype)(
+            vol.astype(self.dtype))
+        x = nn.GroupNorm(num_groups=min(32, self.num_filters),
+                         dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
 def scatter_to_bev(features: jax.Array, coords: jax.Array, vmask: jax.Array,
                    grid_hw: Tuple[int, int]) -> jax.Array:
     """Scatter pillar features (V, C) to a dense BEV image (H, W, C).
