@@ -89,6 +89,9 @@ def main():
         pass
     import jax.numpy as jnp
 
+    from lsd_tpu.utils.device import keep_session_alive
+    keep_session_alive()
+
     from lsd_tpu.sim import CircleSim, SimConfig
     from lsd_tpu.slam import LioConfig, lio_init, lio_step
     from lsd_tpu.slam.state import init_state
@@ -198,7 +201,7 @@ def main():
     # Reference: ~80 ms TRT FP16 on Xavier NX / 30 FPS+ on SM80 GPU
     # (BASELINE.md rows 3-4).
     from lsd_tpu.runtime.modules import build_detector_predict_fn
-    predict = build_detector_predict_fn()
+    predict = build_detector_predict_fn(allow_random_init=True)
     rng_np = np.random.default_rng(0)
     det_pts = jnp.asarray(rng_np.normal(scale=20, size=(2 ** 17, 4))
                           .astype(np.float32))

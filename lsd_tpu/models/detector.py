@@ -17,8 +17,7 @@ import jax.numpy as jnp
 from ..ops.voxelize import voxelize_dynamic
 from .bev_backbone import BEVBackbone
 from .center_head import CenterHead, decode_boxes
-from .vfe import (MeanVFE, PillarVFE, VoxelHeightEncoder, scatter_to_bev,
-                  scatter_to_voxel_bev)
+from .vfe import PillarVFE, scatter_to_bev
 
 
 class DetectorConfig(NamedTuple):

@@ -8,6 +8,7 @@ pillars + dense 2D convolutions carry the FLOPs on the MXU instead.
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import flax.linen as nn
@@ -90,7 +91,9 @@ class VoxelHeightEncoder(nn.Module):
     def __call__(self, vol: jax.Array) -> jax.Array:
         x = nn.Conv(self.num_filters, (1, 1), dtype=self.dtype)(
             vol.astype(self.dtype))
-        x = nn.GroupNorm(num_groups=min(32, self.num_filters),
+        # flax requires channels % num_groups == 0; gcd is divisor-safe for
+        # any num_filters (e.g. 48 -> 16 groups)
+        x = nn.GroupNorm(num_groups=math.gcd(32, self.num_filters),
                          dtype=self.dtype)(x)
         return nn.relu(x)
 

@@ -74,8 +74,12 @@ DEFAULT_CONFIG: Dict[str, Any] = dict(
     lidar=[], camera=[], radar=[],
     ins=dict(use=False, extrinsic_parameters=[0, 0, 0, 0, 0, 0],
              imu_extrinsic_parameters=[0, 0, 0, 0, 0, 0]),
+    # capacity "reference" = the ±64 m / 0.2 m-pillar / 640² class the
+    # reference deploys (cfgs/detection_object.yaml) — it is the default
+    # because trained weights ship for it (weights/detector_refcap.msgpack);
+    # enable=true therefore works out of the box with a trained model.
     detection=dict(enable=False, score_threshold=[0.3, 0.35, 0.35],
-                   accum_frames=2, weights="", capacity="default"),
+                   accum_frames=2, weights="", capacity="reference"),
     trafficlight=dict(enable=False, weights="", lights=[], camera=None),
     slam=dict(mode="mapping", method="FastLIO",
               map_path="", resolution=0.5,

@@ -268,3 +268,47 @@ def test_rotation_loss_is_pi_symmetric():
                              jnp.ones(1, bool))
         losses.append(float(detection_loss(preds, t)[0]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_scatter_to_voxel_bev_layout():
+    """scatter_to_voxel_bev places each z-bin in its own channel group
+    (z-major within a group of C channels), NOT the reference's C-major
+    view(N, C*D, H, W) ordering — assert the documented (H, W, Z*C) layout."""
+    from lsd_tpu.models.vfe import scatter_to_voxel_bev
+
+    H, W, Z, C = 4, 5, 3, 2
+    feats = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], jnp.float32)
+    #                 z  y  x
+    coords = jnp.asarray([[0, 1, 2],
+                          [2, 1, 2],
+                          [1, 3, 4]], jnp.int32)
+    vmask = jnp.asarray([True, True, False])
+    vol = scatter_to_voxel_bev(feats, coords, vmask, (H, W), Z)
+    assert vol.shape == (H, W, Z * C)
+    out = np.asarray(vol)
+    # voxel 0: z=0 -> channels [0*C : 1*C) at (y=1, x=2)
+    np.testing.assert_allclose(out[1, 2, 0:2], [1.0, 2.0])
+    # voxel 1: z=2 -> channels [2*C : 3*C) at same cell
+    np.testing.assert_allclose(out[1, 2, 4:6], [3.0, 4.0])
+    # middle z-bin empty there
+    np.testing.assert_allclose(out[1, 2, 2:4], [0.0, 0.0])
+    # masked voxel dropped
+    np.testing.assert_allclose(out[3, 4], np.zeros(Z * C))
+    # duplicate scatter accumulates
+    vol2 = scatter_to_voxel_bev(jnp.concatenate([feats, feats]),
+                                jnp.concatenate([coords, coords]),
+                                jnp.concatenate([vmask, vmask]), (H, W), Z)
+    np.testing.assert_allclose(np.asarray(vol2), 2 * out)
+
+
+def test_voxel_height_encoder_nondivisible_filters():
+    """GroupNorm group count must divide num_filters (ADVICE r2): 48 is not
+    divisible by 32, gcd(32, 48)=16 is."""
+    from lsd_tpu.models.vfe import VoxelHeightEncoder
+
+    enc = VoxelHeightEncoder(num_filters=48, dtype=jnp.float32)
+    vol = jnp.ones((8, 8, 6), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), vol)
+    out = enc.apply(params, vol)
+    assert out.shape == (8, 8, 48)
+    assert np.all(np.isfinite(np.asarray(out)))
