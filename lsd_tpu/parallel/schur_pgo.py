@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..geometry import so3
 from ..slam.posegraph import (GraphNodes, PgoConfig, PoseGraphData,
                               _gps_residual, _huber_weights, _se3_residual)
+from ..utils.precision import mxu_f32
 
 
 def _bucket(x: int, lo: int = 8) -> int:
@@ -175,6 +176,7 @@ def _build_round(mesh: Mesh, cfg: PgoConfig, m_int: int, n_sep: int,
     m_ext = m_int + n_sep
 
     @jax.jit
+    @mxu_f32
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(),                      # nodes, gps_on, free

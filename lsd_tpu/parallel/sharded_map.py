@@ -43,6 +43,7 @@ from ..slam.imu import propagate, undistort
 from ..slam.lio import (LioConfig, LioState, _gate_degenerate, _update_mask,
                         lio_init)
 from ..slam.state import ERR_DIM, boxminus, boxplus
+from ..utils.precision import mxu_f32
 
 _OWNER_SEED = 0xA511E9B3
 
@@ -199,4 +200,4 @@ def make_sharded_lio_step(cfg: LioConfig, mesh: Mesh):
                           step_count=st.step_count + 1)
         return new_st, nav_new.pose_matrix()
 
-    return jax.jit(step)
+    return jax.jit(mxu_f32(step))

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..geometry import so3
 from ..slam.posegraph import (GraphNodes, PgoConfig, PoseGraphData,
                               _gps_residual, _huber_weights, _se3_residual)
+from ..utils.precision import mxu_f32
 
 
 def _se3_factor(d, qi0, pi0, qj0, pj0, qm, tm, si, w):
@@ -80,6 +81,7 @@ def _build_gn_round(mesh: Mesh, cfg: PgoConfig, n: int):
     axis = mesh.axis_names[0]
 
     @jax.jit
+    @mxu_f32
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axis), P(), P()),

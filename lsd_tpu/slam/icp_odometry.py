@@ -20,6 +20,7 @@ from ..geometry import np_so3
 from ..ops import voxel_downsample
 from ..ops.surfel import surfel_create, surfel_insert, surfel_match, surfel_trim
 import jax
+from ..utils.precision import mxu_f32
 
 
 @dataclasses.dataclass
@@ -35,6 +36,7 @@ class IcpOdometryConfig:
 
 
 @jax.jit
+@mxu_f32
 def _align_step(m, pts, mask, q, t):
     pw = so3.quat_rotate(q[None], pts) + t
     normals, d, ok, _rms = surfel_match(m, pw, mask, 0.15)

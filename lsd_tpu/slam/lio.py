@@ -33,6 +33,7 @@ from ..ops.voxelize import voxel_downsample
 from .imu import ImuNoise, propagate, undistort
 from .state import (ERR_DIM, GRAVITY, IDX_V, NavState, boxminus, boxplus,
                     init_state)
+from ..utils.precision import mxu_f32
 
 
 class LioConfig(NamedTuple):
@@ -177,6 +178,7 @@ def _gate_degenerate(cfg: LioConfig, HtH: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def lio_step(cfg: LioConfig, st: LioState,
              points: jax.Array, stamps: jax.Array, mask: jax.Array,
              imu: jax.Array, imu_mask: jax.Array,
@@ -313,6 +315,7 @@ def lio_step(cfg: LioConfig, st: LioState,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def lio_step_batch(cfg: LioConfig, st: LioState,
                    points: jax.Array, stamps: jax.Array, mask: jax.Array,
                    imu: jax.Array, imu_mask: jax.Array

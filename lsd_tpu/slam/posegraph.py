@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import so3
+from ..utils.precision import mxu_f32
 
 
 class GraphNodes(NamedTuple):
@@ -229,6 +230,7 @@ def _linearize_blocks(graph: PoseGraphData, nodes: GraphNodes,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
              ) -> Tuple[PoseGraphData, dict]:
     """Run robust Gauss-Newton; returns (updated graph, info)."""

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..geometry import so3
 from ..ops.hashmap import _probe_find, _slot_hash, _content_key, hashmap_knn
 from ..ops.planefit import fit_planes
+from ..utils.precision import mxu_f32
 
 
 def _apply(q, t, pts):
@@ -36,6 +37,7 @@ def _apply(q, t, pts):
 
 @functools.partial(jax.jit,
                    static_argnames=("iters", "neighborhood", "searches"))
+@mxu_f32
 def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
                        q0: jax.Array, t0: jax.Array, iters: int = 10,
                        plane_thresh: float = 0.2, max_dist: float = 1.0,
@@ -175,6 +177,7 @@ def ndt_build(points: jax.Array, mask: jax.Array, voxel_size: float,
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@mxu_f32
 def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
               q0: jax.Array, t0: jax.Array, iters: int = 30,
               outlier_ratio: float = 0.55) -> Tuple[jax.Array, jax.Array, dict]:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import so3
+from ..utils.precision import mxu_f32
 
 DIM = 23
 OBS_DIM = 7
@@ -79,6 +80,7 @@ def _normalize_quat(x):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
                 imu_gyro: Optional[jax.Array] = None,
                 imu_acc: Optional[jax.Array] = None) -> UkfState:
@@ -123,6 +125,7 @@ def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def ukf_correct(st: UkfState, obs_pos: jax.Array, obs_quat: jax.Array,
                 cfg: UkfConfig = UkfConfig()) -> UkfState:
     """Observe [p, q] from the NDT matcher."""
@@ -153,6 +156,7 @@ def ukf_pose(st: UkfState) -> jax.Array:
 
 
 @jax.jit
+@mxu_f32
 def ukf_correct_position(st: UkfState, obs_pos: jax.Array,
                          r_pos: jax.Array) -> UkfState:
     """Position-only observation (GNSS fix projected into the map frame).
