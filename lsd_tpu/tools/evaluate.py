@@ -126,6 +126,8 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    from ..utils.device import keep_session_alive
+    keep_session_alive()
 
     warmup = 27          # rest (15) + ramp (10) + filter latch (2)
     rows = []
