@@ -46,6 +46,22 @@ class MapperConfig:
     loop_search_radius: float = 20.0      # candidate gate (m)
     loop_sc_thresh: float = 0.3
     loop_fitness_thresh: float = 0.4
+    # loop VERIFICATION quality (the edge the optimizer trusts): fine
+    # target map + residual gate + fitness-scaled information.  A loop
+    # edge only helps if its ICP error is below the odometry drift it is
+    # meant to correct; a coarse verification map produced ~0.2 m-biased
+    # edges that DEGRADED an mm-accurate graph (campaign r3 debugging).
+    loop_icp_iters: int = 20
+    loop_map_voxel: float = 0.25
+    loop_map_capacity: int = 2 ** 17
+    loop_max_residual: float = 0.08       # mean |p2plane| acceptance (m)
+    # information interpolated from fitness (ref: hdl_graph_slam
+    # information_matrix_calculator.cpp fitness->info mapping)
+    loop_info_min: float = 25.0
+    loop_info_max: float = 400.0
+    # gross-mismatch gate: reject corrections beyond plausible drift
+    loop_max_correction_t: float = 3.0    # m
+    loop_max_correction_deg: float = 30.0
     optimize_every: int = 10              # keyframes between PGO runs
     gps_info: float = 0.25                # 1/sigma^2 for GPS priors
     orient_info: float = 1.0              # 1/sigma^2 for IMU/INS attitude
@@ -211,7 +227,8 @@ class Mapper:
         tgt_pad[:len(target)] = target[:, :3]
         tmask = np.zeros(cap, bool)
         tmask[:len(target)] = True
-        m = surfel_create(capacity=2 ** 16, voxel_size=0.5)
+        m = surfel_create(capacity=cfg.loop_map_capacity,
+                          voxel_size=cfg.loop_map_voxel)
         m = surfel_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
 
         src = kf.cloud[:, :3]
@@ -222,15 +239,32 @@ class Mapper:
         smask[:len(src)] = True
         q0 = so3.matrix_to_quat(jnp.asarray(kf.pose[:3, :3], jnp.float32))
         t0 = jnp.asarray(kf.pose[:3, 3], jnp.float32)
-        q, t, icp_info = icp_point_to_plane(m, jnp.asarray(src_pad), jnp.asarray(smask),
-                                            q0, t0, iters=12)
-        if float(icp_info["fitness"]) < cfg.loop_fitness_thresh:
+        q, t, icp_info = icp_point_to_plane(
+            m, jnp.asarray(src_pad), jnp.asarray(smask), q0, t0,
+            iters=cfg.loop_icp_iters, plane_thresh=0.1, max_dist=0.5)
+        fitness = float(icp_info["fitness"])
+        if fitness < cfg.loop_fitness_thresh:
+            return None
+        if float(icp_info["mean_residual"]) > cfg.loop_max_residual:
             return None
         T_w = np.eye(4)
         T_w[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
         T_w[:3, 3] = np.asarray(t)
+        # gross-mismatch gate vs the current estimate
+        D = np.linalg.inv(kf.pose) @ T_w
+        d_ang = np.degrees(np.arccos(np.clip((np.trace(D[:3, :3]) - 1) / 2,
+                                             -1.0, 1.0)))
+        if np.linalg.norm(D[:3, 3]) > cfg.loop_max_correction_t or \
+                d_ang > cfg.loop_max_correction_deg:
+            return None
         T_rel = np.linalg.inv(cand_kf.pose) @ T_w
-        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=200.0, trans_info=200.0)
+        # fitness-scaled information (information_matrix_calculator.cpp):
+        # marginal matches constrain weakly, clean ones strongly
+        w = np.clip((fitness - cfg.loop_fitness_thresh)
+                    / max(1.0 - cfg.loop_fitness_thresh, 1e-6), 0.0, 1.0)
+        info = cfg.loop_info_min + w * (cfg.loop_info_max - cfg.loop_info_min)
+        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=info,
+                                trans_info=info)
         self.loops.append((cand, kid))
         return (cand, kid)
 
