@@ -188,6 +188,7 @@ class SlamModule(Module):
             register_interface("slam.add_area", ed.add_area)
             register_interface("slam.del_area", ed.del_area)
             register_interface("slam.set_vertex_fix", ed.set_vertex_fix)
+            register_interface("slam.set_vertex_pose", ed.set_vertex_pose)
             register_interface("slam.graph_optimize", ed.graph_optimize)
             register_interface("slam.keyframe_align", ed.keyframe_align)
             register_interface("slam.merge_map", ed.merge_map)

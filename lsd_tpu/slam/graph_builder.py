@@ -46,6 +46,12 @@ class PoseGraphBuilder:
     def set_fixed(self, i: int, fixed: bool = True) -> None:
         self.fixed[i] = bool(fixed)
 
+    def set_node_pose(self, i: int, T: np.ndarray) -> None:
+        """Overwrite node i's estimate (editor vertex drag)."""
+        T = np.asarray(T, np.float32).reshape(4, 4)
+        self.quat[i] = _quat_from_T(T)
+        self.pos[i] = np.asarray(T[:3, 3], np.float32)
+
     def node_pose(self, i: int) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = np_so3.quat_to_matrix(self.quat[i])
@@ -58,8 +64,12 @@ class PoseGraphBuilder:
 
     # --- factors -------------------------------------------------------
     def add_se3_edge(self, i: int, j: int, T_ij: np.ndarray,
-                     rot_info: float = 100.0, trans_info: float = 100.0) -> int:
-        si = np.asarray([rot_info] * 3 + [trans_info] * 3, np.float32) ** 0.5
+                     rot_info=100.0, trans_info=100.0) -> int:
+        """rot_info/trans_info: scalar or per-axis (3,) information values
+        (anisotropic loop edges carry Hessian-derived per-axis info)."""
+        ri = np.broadcast_to(np.asarray(rot_info, np.float32), (3,))
+        ti = np.broadcast_to(np.asarray(trans_info, np.float32), (3,))
+        si = np.concatenate([ri, ti]).astype(np.float32) ** 0.5
         self.se3.append((i, j, _quat_from_T(T_ij),
                          np.asarray(T_ij[:3, 3], np.float32), si))
         return len(self.se3) - 1

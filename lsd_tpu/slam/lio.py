@@ -303,6 +303,11 @@ def lio_step(cfg: LioConfig, st: LioState,
         mean_residual=stats[1] / jnp.maximum(stats[0], 1.0),
         n_degenerate=stats[2].astype(jnp.int32),
         pose=nav_new.pose_matrix(),
+        # motion-compensated scan in the scan-end lidar frame: keyframe
+        # clouds MUST store this, not the raw sweep — at 5 m/s a 0.1 s
+        # sweep skews ~0.5 m, which poisons loop-closure ICP and saved
+        # maps (ref: graph_utils.cpp undistortion cloud save)
+        points_und=pts_und,
         # per-IMU-sample propagated trajectory: the high-rate pose source
         # (ref fastlio.cpp prediction:18-100 / slam.cpp getTimedPose)
         imu_t=track["t"], imu_quat=track["quat"], imu_pos=track["pos"],

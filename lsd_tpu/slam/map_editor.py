@@ -235,6 +235,15 @@ class MapEditor:
     def del_edge(self, eid) -> None:
         self.mapper.graph.del_se3_edge(int(eid))
 
+    def set_vertex_pose(self, vid, pose) -> None:
+        """Move a vertex to an absolute pose (editor drag; the reference
+        editor's vertex manipulation before re-optimize).  Updates both
+        the graph estimate and the keyframe store so clouds/edges follow."""
+        i = int(vid)
+        T = np.asarray(pose, float).reshape(4, 4)
+        self.mapper.graph.set_node_pose(i, T)
+        self.mapper.store[i].pose = T.copy()
+
     def set_vertex_fix(self, vid, fix) -> None:
         self.mapper.graph.set_fixed(int(vid), bool(fix))
 
@@ -298,9 +307,10 @@ class MapEditor:
                 T_rel = np.linalg.inv(prev.odom) @ kf.odom
                 m.graph.add_se3_edge(kid - 1, kid, T_rel,
                                      rot_info=400.0, trans_info=400.0)
-        for (i, j, T_rel) in cross:
+        for (i, j, T_rel, *rest) in cross:
+            info6 = rest[0] if rest else np.full(6, 200.0)
             m.graph.add_se3_edge(int(i), base + int(j), T_rel,
-                                 rot_info=200.0, trans_info=200.0)
+                                 rot_info=info6[:3], trans_info=info6[3:])
             m.loops.append((int(i), base + int(j)))
         # merge areas from the other map's meta
         for aid, area in (data.get("meta") or {}).get("area", {}).items() \

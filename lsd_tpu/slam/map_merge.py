@@ -79,14 +79,31 @@ def find_cross_edges(store_a: KeyframeStore, store_b: KeyframeStore,
         R0 = kf_a.pose[:3, :3] @ Rz
         q0 = so3.matrix_to_quat(jnp.asarray(R0, jnp.float32))
         t0 = jnp.asarray(kf_a.pose[:3, 3], jnp.float32)
-        q, t, info = icp_point_to_plane(m, P, M, q0, t0, iters=15)
-        if float(info["fitness"]) < fitness_thresh:
+        q, t, info = icp_point_to_plane(m, P, M, q0, t0, iters=15,
+                                        min_points=4)
+        # coverage-independent acceptance (fitness is capped by the local
+        # target's overlap fraction) + absolute inlier floor
+        if float(info["inlier_ratio"]) < fitness_thresh or \
+                float(info["n_inliers"]) < 200:
             continue
         T_b_in_a = np.eye(4)
         T_b_in_a[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
         T_b_in_a[:3, 3] = np.asarray(t)
         T_rel = np.linalg.inv(kf_a.pose) @ T_b_in_a
-        edges.append((i, j, T_rel))
+        # anisotropic edge information from the ICP Hessian (see
+        # mapper._detect_loop; same discount/cap policy)
+        A6 = np.asarray(info["JtJ"], float)
+        sigma = max(float(info["mean_residual"]), 0.01)
+        try:
+            cov = sigma ** 2 * np.linalg.inv(A6 + 1e-6 * np.eye(6))
+        except np.linalg.LinAlgError:
+            continue
+        Ra = kf_a.pose[:3, :3]
+        info6 = 0.02 / np.maximum(np.concatenate([
+            np.diag(Ra.T @ cov[:3, :3] @ Ra),
+            np.diag(Ra.T @ cov[3:, 3:] @ Ra)]), 1e-12)
+        info6 = np.clip(info6, 0.0, 400.0)
+        edges.append((i, j, T_rel, info6))
     return _consensus_filter(store_a, store_b, edges)
 
 
@@ -105,7 +122,7 @@ def _consensus_filter(store_a: KeyframeStore, store_b: KeyframeStore,
     if len(edges) <= 1:
         return edges
     aligns = [store_a.frames[i].pose @ T @ np.linalg.inv(store_b.frames[j].pose)
-              for (i, j, T) in edges]
+              for (i, j, T, *_) in edges]
 
     def consistent(Ta, Tb):
         d = np.linalg.inv(Ta) @ Tb
@@ -141,7 +158,7 @@ def merge_maps(map_a_dir: str, map_b_dir: str,
 
     # rigid pre-alignment of B into A's frame from the best cross pair
     if cross:
-        i, j, T_rel = cross[0]
+        i, j, T_rel = cross[0][:3]
         T_align = store_a.frames[i].pose @ T_rel @ np.linalg.inv(store_b.frames[j].pose)
     else:
         T_align = np.asarray(init_hint, float)
@@ -162,8 +179,10 @@ def merge_maps(map_a_dir: str, map_b_dir: str,
     for k in range(len(store_b) - 1):
         T_rel_b = np.linalg.inv(store_b.frames[k].pose) @ store_b.frames[k + 1].pose
         b.add_se3_edge(na + k, na + k + 1, T_rel_b, rot_info=400.0, trans_info=400.0)
-    for (i, j, T_rel) in cross:
-        b.add_se3_edge(i, na + j, T_rel, rot_info=200.0, trans_info=200.0)
+    for (i, j, T_rel, *rest) in cross:
+        info6 = rest[0] if rest else np.full(6, 200.0)
+        b.add_se3_edge(i, na + j, T_rel, rot_info=info6[:3],
+                       trans_info=info6[3:])
 
     g, info = optimize(b.to_data(), pgo_cfg)
     b.update_from(g)

@@ -55,9 +55,17 @@ class MapperConfig:
     loop_map_voxel: float = 0.25
     loop_map_capacity: int = 2 ** 17
     loop_max_residual: float = 0.08       # mean |p2plane| acceptance (m)
-    # information interpolated from fitness (ref: hdl_graph_slam
-    # information_matrix_calculator.cpp fitness->info mapping)
-    loop_info_min: float = 25.0
+    loop_min_inliers: int = 200           # absolute aligned-point floor
+    # information from the ICP Hessian (ref: hdl_graph_slam
+    # information_matrix_calculator.cpp role, derived from the actual
+    # Gauss-Newton normal matrix): per-axis info = discount / diag(cov),
+    # capped at loop_info_max.  Sliding directions (corridor axis,
+    # ground-only yaw) get near-zero info so a partially-constrained
+    # match can't drag the graph along its unconstrained axes.
+    # ``loop_info_discount`` converts the noise-derived covariance into
+    # an honest bound on SYSTEMATIC error (plane-normal bias dominates
+    # point noise at a few hundred inliers).
+    loop_info_discount: float = 0.02
     loop_info_max: float = 400.0
     # gross-mismatch gate: reject corrections beyond plausible drift
     loop_max_correction_t: float = 3.0    # m
@@ -86,6 +94,10 @@ class Mapper:
         self.sc_ids: List[int] = []       # sc slot -> keyframe id
         self.odometry: List[Tuple[int, np.ndarray]] = []
         self.loops: List[Tuple[int, int]] = []
+        # loop-gate observability: why candidates were rejected
+        self.loop_stats: Dict[str, int] = dict(
+            sc=0, radius=0, travel=0, target=0, fitness=0, residual=0,
+            correction=0, accepted=0)
         self.origin_lla: Optional[np.ndarray] = None
         self._kf_since_opt = 0
         # map-frame correction of the raw LIO odometry, refreshed on every
@@ -115,7 +127,11 @@ class Mapper:
         is_kf = self.updater.is_update(odom_pose)
         loop = None
         if is_kf:
-            loop = self._add_keyframe(points, mask, odom_pose, stamp_us,
+            # keyframe cloud = UNDISTORTED scan (scan-end lidar frame,
+            # matching the scan-end keyframe pose); the raw sweep skews
+            # by v * sweep_time and biases loop ICP + saved maps
+            pts_kf = np.asarray(info["points_und"])
+            loop = self._add_keyframe(pts_kf, mask, odom_pose, stamp_us,
                                       gps_xyz, images=images,
                                       orient_quat=orient_quat)
         # publish in the map frame: graph corrections (loop closures, GPS)
@@ -207,20 +223,24 @@ class Mapper:
                                   exclude_recent=5)
         idx = int(idx)
         if idx < 0 or idx >= len(self.sc_ids) or float(dist) > cfg.loop_sc_thresh:
+            self.loop_stats["sc"] += 1
             return None
         cand = self.sc_ids[idx]
         cand_kf = self.store[cand]
         # distance gate in current pose estimates
         if np.linalg.norm(cand_kf.pose[:3, 3] - kf.pose[:3, 3]) > cfg.loop_search_radius:
+            self.loop_stats["radius"] += 1
             return None
         # travel-distance gate (avoid adjacent-keyframe "loops")
         if kf.accum_distance - cand_kf.accum_distance < cfg.loop_min_distance:
+            self.loop_stats["travel"] += 1
             return None
         # verify with ICP: align current cloud to candidate's neighborhood map
         ids = [i for i in self.store.within_radius(cand_kf.pose[:3, 3], 25.0)
                if abs(i - kid) > 2]
         target = self.store.merged_cloud(ids, max_points=2 ** 16)
         if len(target) < 1000:
+            self.loop_stats["target"] += 1
             return None
         cap = 1 << int(np.ceil(np.log2(max(len(target), 2))))
         tgt_pad = np.zeros((cap, 3), np.float32)
@@ -241,11 +261,19 @@ class Mapper:
         t0 = jnp.asarray(kf.pose[:3, 3], jnp.float32)
         q, t, icp_info = icp_point_to_plane(
             m, jnp.asarray(src_pad), jnp.asarray(smask), q0, t0,
-            iters=cfg.loop_icp_iters, plane_thresh=0.1, max_dist=0.5)
-        fitness = float(icp_info["fitness"])
-        if fitness < cfg.loop_fitness_thresh:
+            iters=cfg.loop_icp_iters, plane_thresh=0.1, max_dist=0.5,
+            min_points=4)   # the fine local map is sparse per voxel
+        # quality = inlier ratio among source points with a target plane
+        # (coverage-independent — the verification map is LOCAL, so plain
+        # fitness is capped by the overlap fraction) + an absolute inlier
+        # floor so tiny overlaps can't pass
+        quality = float(icp_info["inlier_ratio"])
+        if quality < cfg.loop_fitness_thresh or \
+                float(icp_info["n_inliers"]) < cfg.loop_min_inliers:
+            self.loop_stats["fitness"] += 1
             return None
         if float(icp_info["mean_residual"]) > cfg.loop_max_residual:
+            self.loop_stats["residual"] += 1
             return None
         T_w = np.eye(4)
         T_w[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
@@ -256,16 +284,31 @@ class Mapper:
                                              -1.0, 1.0)))
         if np.linalg.norm(D[:3, 3]) > cfg.loop_max_correction_t or \
                 d_ang > cfg.loop_max_correction_deg:
+            self.loop_stats["correction"] += 1
             return None
         T_rel = np.linalg.inv(cand_kf.pose) @ T_w
-        # fitness-scaled information (information_matrix_calculator.cpp):
-        # marginal matches constrain weakly, clean ones strongly
-        w = np.clip((fitness - cfg.loop_fitness_thresh)
-                    / max(1.0 - cfg.loop_fitness_thresh, 1e-6), 0.0, 1.0)
-        info = cfg.loop_info_min + w * (cfg.loop_info_max - cfg.loop_info_min)
-        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=info,
-                                trans_info=info)
+        # anisotropic information from the ICP Hessian: cov = sigma^2 *
+        # inv(JtJ) in world basis at the source pose ([rot, trans]);
+        # rotate translation/rotation blocks into node i's (candidate's)
+        # frame — the frame the graph residual whitens in — then per-axis
+        # info = discount/diag(cov), capped.
+        A6 = np.asarray(icp_info["JtJ"], float)
+        sigma = max(float(icp_info["mean_residual"]), 0.01)
+        try:
+            cov = sigma ** 2 * np.linalg.inv(A6 + 1e-6 * np.eye(6))
+        except np.linalg.LinAlgError:
+            self.loop_stats["fitness"] += 1
+            return None
+        Ri = cand_kf.pose[:3, :3]
+        cov_rot = Ri.T @ cov[:3, :3] @ Ri
+        cov_t = Ri.T @ cov[3:, 3:] @ Ri
+        info6 = cfg.loop_info_discount / np.maximum(
+            np.concatenate([np.diag(cov_rot), np.diag(cov_t)]), 1e-12)
+        info6 = np.clip(info6, 0.0, cfg.loop_info_max)
+        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=info6[:3],
+                                trans_info=info6[3:])
         self.loops.append((cand, kid))
+        self.loop_stats["accepted"] += 1
         return (cand, kid)
 
     # ------------------------------------------------------------------

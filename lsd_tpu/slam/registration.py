@@ -36,13 +36,15 @@ def _apply(q, t, pts):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "neighborhood", "searches"))
+                   static_argnames=("iters", "neighborhood", "searches",
+                                    "min_points"))
 @mxu_f32
 def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
                        q0: jax.Array, t0: jax.Array, iters: int = 10,
                        plane_thresh: float = 0.2, max_dist: float = 1.0,
                        neighborhood: int = 19,
-                       searches: Optional[int] = None
+                       searches: Optional[int] = None,
+                       min_points: int = 6
                        ) -> Tuple[jax.Array, jax.Array, dict]:
     """Refine (q0, t0) so that source points fit target planes.
 
@@ -68,7 +70,8 @@ def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
         from ..ops.surfel import SurfelMap, surfel_match
         if isinstance(target, SurfelMap):
             normals, d, ok, _rms = surfel_match(target, pw, mask,
-                                                plane_thresh)
+                                                plane_thresh,
+                                                min_points=min_points)
         else:
             nbrs, nvalid = hashmap_knn(target, pw, mask, k=5,
                                        neighborhood=neighborhood)
@@ -80,18 +83,31 @@ def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
         pw = _apply(q, t, source)
         r = jnp.einsum("ni,ni->n", pw, normals) + d
         valid = mask & ok & (jnp.abs(r) < max_dist)
+        n_planes = jnp.sum((mask & ok).astype(source.dtype))
         w = valid.astype(source.dtype)
         # H rows: [dr/dtheta, dr/dt] with right-perturbed rotation
         nR = normals @ so3.quat_to_matrix(q)
         H = jnp.concatenate([-jnp.cross(nR, source), normals], axis=-1)  # (N, 6)
         H = H * w[:, None]
         rw = r * w
-        A = H.T @ H + 1e-6 * jnp.eye(6, dtype=source.dtype)
+        A = H.T @ H
+        # Levenberg damping + trust region: sparse scans leave near-null
+        # directions (ground-only patches), and an undamped GN step runs
+        # tens of meters along them (observed on 4k-pt scan-to-scan
+        # alignment); damping relative to diag(A) keeps the conditioned
+        # directions exact while bounding the null ones
+        A = A + 1e-3 * jnp.diag(jnp.diagonal(A)) + 1e-6 * jnp.eye(6, dtype=source.dtype)
         b = H.T @ rw
         dx = -jnp.linalg.solve(A, b)
+        rot_n = jnp.linalg.norm(dx[:3])
+        t_n = jnp.linalg.norm(dx[3:])
+        scale = jnp.minimum(1.0, jnp.minimum(
+            0.3 / jnp.maximum(rot_n, 1e-9), 1.0 / jnp.maximum(t_n, 1e-9)))
+        dx = dx * scale
         q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
         t_new = t + dx[3:]
-        stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(rw)), jnp.linalg.norm(dx)])
+        stats = jnp.stack([jnp.sum(w), jnp.sum(jnp.abs(rw)),
+                           jnp.linalg.norm(dx), n_planes])
         return (q_new, t_new, normals, d, ok), stats
 
     q, t = q0, t0
@@ -100,11 +116,35 @@ def icp_point_to_plane(target, source: jax.Array, mask: jax.Array,
         normals, d, ok = find_planes(q, t)
         (q, t, _, _, _), stats = jax.lax.scan(
             gn_step, (q, t, normals, d, ok), None, length=inner)
+    # final-iterate Gauss-Newton normal matrix: the 6-dof constraint
+    # stiffness of this alignment ([rot, trans] rows, world basis at the
+    # source pose).  Directions the target geometry does not constrain
+    # (sliding along a corridor, yaw on a ground-only patch) show up as
+    # near-zero eigenvalues — callers derive per-axis edge information
+    # from it (ref: hdl_graph_slam information_matrix_calculator idea,
+    # done from the actual Hessian instead of a fitness heuristic).
+    pw_f = _apply(q, t, source)
+    r_f = jnp.einsum("ni,ni->n", pw_f, normals) + d
+    valid_f = mask & ok & (jnp.abs(r_f) < max_dist)
+    w_f = valid_f.astype(source.dtype)
+    nR_f = normals @ so3.quat_to_matrix(q)
+    H_f = jnp.concatenate([-jnp.cross(nR_f, source), normals], -1) * w_f[:, None]
+    JtJ = H_f.T @ H_f
+
     n_valid = stats[-1, 0]
     n_total = jnp.maximum(jnp.sum(mask.astype(source.dtype)), 1.0)
+    n_planes = stats[-1, 3]
     info = dict(fitness=n_valid / n_total,
+                JtJ=JtJ,
                 mean_residual=stats[-1, 1] / jnp.maximum(n_valid, 1.0),
-                last_delta=stats[-1, 2])
+                last_delta=stats[-1, 2],
+                # coverage-independent quality: of the source points whose
+                # neighborhood HAS a target plane, what fraction aligned?
+                # (fitness mixes alignment with map coverage — a local
+                # target map caps it at the overlap fraction)
+                n_inliers=n_valid,
+                inlier_ratio=n_valid / jnp.maximum(n_planes, 1.0),
+                overlap=n_planes / n_total)
     return q, t, info
 
 
@@ -280,12 +320,19 @@ def align_clouds(source: "np.ndarray", target: "np.ndarray",
     TP, TM = pad(np.asarray(target, np.float32))
     SP, SM = pad(np.asarray(source, np.float32))
     cap = max(2 ** 14, 2 * int(TM.shape[0]))
-    m = surfel_create(capacity=cap, voxel_size=voxel_size)
-    m = surfel_insert(m, TP, TM)
     T0 = np.asarray(T0, float).reshape(4, 4)
-    q0 = jnp.asarray(np_so3.matrix_to_quat(T0[:3, :3]), jnp.float32)
-    t0 = jnp.asarray(T0[:3, 3], jnp.float32)
-    q, t, _ = icp_point_to_plane(m, SP, SM, q0, t0, iters=iters)
+    q = jnp.asarray(np_so3.matrix_to_quat(T0[:3, :3]), jnp.float32)
+    t = jnp.asarray(T0[:3, 3], jnp.float32)
+    # coarse-to-fine: single scans are sparse (~1 pt per fine voxel), so
+    # a fine-only surfel map yields noise planes and ICP wanders; a 2x
+    # coarse pass locks the bulk alignment first (min_points=4 accepts
+    # the thin single-scan neighborhoods at both scales)
+    for vox, it in ((2.0 * voxel_size, max(4, iters // 2)),
+                    (voxel_size, iters)):
+        m = surfel_create(capacity=cap, voxel_size=vox)
+        m = surfel_insert(m, TP, TM)
+        q, t, _ = icp_point_to_plane(m, SP, SM, q, t, iters=it,
+                                     min_points=4)
     T = np.eye(4)
     T[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
     T[:3, 3] = np.asarray(t)

@@ -124,6 +124,9 @@ class PerceptionServer:
             lambda b: self._call_ok("slam.add_area", b)
         r[("POST", "/v1/map-del-area")] = \
             lambda b: self._call_ok("slam.del_area", _id_of(b))
+        r[("POST", "/v1/map-set-vertex-pose")] = \
+            lambda b: self._call_ok("slam.set_vertex_pose", _id_of(b),
+                                    b.get("pose"))
         r[("POST", "/v1/map-set-vertex-fix")] = \
             lambda b: self._call_ok("slam.set_vertex_fix", _id_of(b),
                                     b.get("fix", True))

@@ -214,3 +214,26 @@ def test_vertex_cloud_binary(slam_module):
     np.testing.assert_allclose(arr2[0, :3], arr[1, :3], atol=1e-6)
     # out-of-range id -> empty payload, not an exception
     assert call_interface("slam.get_vertex_cloud", 9999) == b""
+
+
+@pytest.mark.slow
+def test_vertex_drag_pose_update(slam_module):
+    """Editor vertex drag surface: set_vertex_pose moves the graph node +
+    keyframe store, edges re-derive from the new pose, and optimize pulls
+    the dragged vertex back toward the odometry-consistent estimate."""
+    feed_scans(slam_module)
+    m = slam_module.engine
+    vid = 2
+    T0 = m.store[vid].pose.copy()
+    T_new = T0.copy()
+    T_new[0, 3] += 3.0
+    T_new[1, 3] -= 2.0
+    call_interface("slam.set_vertex_pose", vid, T_new.flatten().tolist())
+    assert np.allclose(m.store[vid].pose, T_new)
+    meta = call_interface("slam.get_graph_meta")
+    p = np.asarray(meta["vertex"][str(vid)]["pose"]).reshape(4, 4)
+    assert np.allclose(p, T_new, atol=1e-5)
+    # optimize: odometry edges pull the dragged vertex back
+    call_interface("slam.map_optimize") if False else m.optimize_graph()
+    d_after = np.linalg.norm(m.store[vid].pose[:3, 3] - T0[:3, 3])
+    assert d_after < 1.0, f"optimize left vertex {d_after} m from chain"
