@@ -53,18 +53,16 @@ def measure_reference_baseline():
                              timeout=600, capture_output=True, text=True)
         meas = json.loads(out.stdout.strip().splitlines()[-1])
         # score the reference's trajectory so the baseline is a tracking
-        # run, not a no-op timing
+        # run, not a no-op timing (standard Umeyama-aligned ATE — same
+        # metric as the TPU number below)
+        from lsd_tpu.utils.metrics import ate_rmse
         gt = np.load(replay + ".gt.npy")
         rows = np.loadtxt(traj)
         est = np.zeros((len(rows), 4, 4))
         est[:, :3] = rows[:, 1:].reshape(-1, 3, 4)
         est[:, 3, 3] = 1
         w = 27                      # rest + spin-up + init scans
-        n = min(len(est), len(gt))
-        T_align = gt[w] @ np.linalg.inv(est[w])
-        e = np.stack([T_align @ est[k] for k in range(w, n)])
-        err = np.linalg.norm(e[:, :3, 3] - gt[w:n, :3, 3], axis=1)
-        meas["ate_rmse_m"] = round(float(np.sqrt((err ** 2).mean())), 4)
+        meas["ate_rmse_m"] = round(ate_rmse(est, gt[:len(est)], w), 4)
         meas["host_cpus"] = os.cpu_count()
         with open(cache, "w") as fh:
             json.dump(meas, fh)
@@ -262,9 +260,45 @@ def main():
     _ = jax.device_get(t[0])
     loc_ms = (time.perf_counter() - t0) / 50 * 1000
 
-    errs = [np.linalg.norm(np.asarray(p) - d[5][:3, 3])
-            for p, d in zip(poses, dev_data[N_WARM:])]
-    ate = float(np.sqrt(np.mean(np.square(errs))))
+    from lsd_tpu.utils.metrics import ate_rmse
+    est_T = np.tile(np.eye(4, dtype=np.float64), (len(poses), 1, 1))
+    est_T[:, :3, 3] = np.stack([np.asarray(p) for p in poses])
+    gt_T = np.stack([d[5] for d in dev_data[N_WARM:]])
+    # warmup 22 = remaining rest+ramp scans after the N_WARM prefix
+    ate = ate_rmse(est_T, gt_T, warmup=22)
+
+    # ---- roofline / MFU accounting (VERDICT r2 #2) --------------------
+    # measured chip peaks + per-stage %-of-peak with analytic minimum
+    # traffic (XLA's own byte estimate overcounts gathers ~7x peak);
+    # see lsd_tpu/tools/roofline.py for methodology.
+    _stage("roofline (peaks + per-stage)...")
+    roofline = {}
+    try:
+        from lsd_tpu.tools.roofline import (detection_traffic_model,
+                                            lio_traffic_model, measure_peaks,
+                                            stage_report, xla_flops)
+        peaks = measure_peaks()
+        (P_, S_, M_, I_, IM_, _gt) = dev_data[0]
+        lio_flops = xla_flops(lio_step, cfg, st, P_, S_, M_, I_, IM_)
+        lio_model = lio_traffic_model(cfg, CAP)
+        det_cfg_ref = DetectorConfig.reference_capacity()
+        det_flops = xla_flops(predict_ref._jit, predict_ref._params,
+                              det_pts_ref, det_mask)
+        import jax as _jax
+        params_bytes = sum(a.size * a.dtype.itemsize
+                           for a in _jax.tree.leaves(predict_ref._params))
+        rows = [
+            stage_report("lio_step", 1e3 / scans_per_sec, lio_flops,
+                         lio_model["total"], peaks),
+            stage_report("detection_ref_capacity", det_ref_ms, det_flops,
+                         detection_traffic_model(det_cfg_ref, 2 ** 17,
+                                                 params_bytes), peaks),
+            stage_report("localization_step", loc_ms, 0.0,
+                         lio_model["match"] * 2, peaks),
+        ]
+        roofline = dict(peaks=peaks, stages=rows)
+    except Exception as exc:
+        roofline = dict(error=repr(exc))
 
     ref = measure_reference_baseline()
     if ref is not None and ref.get("scans_per_sec", 0) > 0:
@@ -290,6 +324,7 @@ def main():
         "detection_ms_131k_pts": round(det_ms, 3),
         "detection_ms_ref_capacity_640grid": round(det_ref_ms, 3),
         "localization_ms_32k_pts": round(loc_ms, 3),
+        "roofline": roofline,
     }))
 
 

@@ -287,6 +287,7 @@ class SlamModule(Module):
                     float(ins.get("latitude", 0.0) or 0.0),
                     float(ins.get("longitude", 0.0) or 0.0))
                 accepted = prio >= 0
+            gps_info = None
             if d.get("ins_valid") and ins.get("latitude") and accepted:
                 from ..geometry.utm import UTMProjector
                 if not hasattr(self, "_proj"):
@@ -295,13 +296,56 @@ class SlamModule(Module):
                         self.engine.origin_lla = np.asarray(
                             [float(ins["latitude"]), float(ins["longitude"]),
                              float(ins.get("altitude", 0.0))])
-                        self._alt0 = float(ins.get("altitude", 0.0))
-                x, y = self._proj.project(float(ins["latitude"]),
-                                          float(ins["longitude"]))
+                    # anchor the GNSS frame to the MAP frame at the first
+                    # accepted fix: the prior for that fix lands exactly on
+                    # the current SLAM pose, and later fixes are offsets
+                    # from it.  A session seeded mid-map (relocalized /
+                    # merged / GT-seeded) thus gets consistent priors —
+                    # anchoring at raw first-fix coordinates instead
+                    # offsets every prior by the seed position (ref: the
+                    # reference stores the map origin in map_info.txt and
+                    # projects fixes relative to it, slam.cpp UTM origin)
+                    e0, n0 = self._proj.project(float(ins["latitude"]),
+                                                float(ins["longitude"]),
+                                                relative=False)
+                    self._gps_anchor = (float(np.ravel(e0)[0]),
+                                        float(np.ravel(n0)[0]),
+                                        float(ins.get("altitude", 0.0)))
+                    self._map_anchor = np.asarray(
+                        self.last_pose[:3, 3], float).copy()
+                e, n = self._proj.project(float(ins["latitude"]),
+                                          float(ins["longitude"]),
+                                          relative=False)
+                a0 = self._gps_anchor
                 gps_xyz = np.asarray(
-                    [float(x), float(y),
-                     float(ins.get("altitude", 0.0))
-                     - getattr(self, "_alt0", 0.0)], np.float32)
+                    [float(np.ravel(e)[0]) - a0[0] + self._map_anchor[0],
+                     float(np.ravel(n)[0]) - a0[1] + self._map_anchor[1],
+                     float(ins.get("altitude", 0.0)) - a0[2]
+                     + self._map_anchor[2]], np.float32)
+                # time-align the fix to the SCAN-END pose the keyframe
+                # stores: extrapolate with the fix's own ENU velocity
+                # (ref: ins_driver.cpp trigger interpolates the fix to the
+                # requested stamp; hdl flush_gps_queue interpolates gps to
+                # keyframe stamps).  At 5 m/s an unaligned fix is 0.5 m
+                # off — 10x the RTK noise.
+                fix_ts = float(ins.get("timestamp", ts))
+                dt_s = (ts + frame.timestep - fix_ts) / 1e6
+                if abs(dt_s) < 1.0:
+                    gps_xyz = gps_xyz + np.asarray(
+                        [float(ins.get("Ve", 0.0)),
+                         float(ins.get("Vn", 0.0)),
+                         float(ins.get("Vu", 0.0))],
+                        np.float32) * np.float32(dt_s)
+                # information scaled by fix quality (ref slam.cpp status
+                # priority; hdl gps_edge_stddev_xy): RTK-fix sigma 0.1 m,
+                # float 0.5 m, single 2 m
+                gps_info = {2: 100.0, 1: 4.0}.get(prio, 0.25)
+                # ingest-side outlier gate vs the locally-accurate SLAM
+                # pose (backstopped by the optimizer's chi2 gating /
+                # robust_graph_optimize): a "fixed" status 20 m from the
+                # estimate is a multipath jump, not a correction
+                if np.linalg.norm(gps_xyz[:2] - self.last_pose[:2, 3]) > 5.0:
+                    gps_xyz = gps_info = None
                 if "Ve" in ins:
                     vel_obs = np.asarray([float(ins.get("Ve", 0.0)),
                                           float(ins.get("Vn", 0.0)),
@@ -340,6 +384,7 @@ class SlamModule(Module):
                     frame.scan.mask,
                     imu_rel.astype(np.float32), imu_mask,
                     stamp_us=frame.scan.timestamp, gps_xyz=gps_xyz,
+                    gps_info=gps_info,
                     vel_obs=vel_obs, vel_obs_valid=vel_obs_valid,
                     images=images, orient_quat=orient_quat)
         else:
@@ -427,6 +472,10 @@ def build_detector_predict_fn(weights: Optional[str] = None,
     if weights:
         from ..models.params_io import load_params
         params = load_params(weights, params)
+        # loaded leaves are NUMPY arrays; without an explicit device_put
+        # every predict() re-uploads the full 15 MB checkpoint (measured
+        # +270 ms/call at reference capacity on the tunneled chip)
+        params = jax.device_put(params)
     pcfg = PostProcessConfig()
 
     # params flow through as jit ARGUMENTS, not captured constants —
@@ -440,8 +489,12 @@ def build_detector_predict_fn(weights: Optional[str] = None,
         return out + (preds["seg"],)
 
     if with_seg:
-        return lambda points, mask: predict(params, points, mask)
-    return lambda points, mask: predict(params, points, mask)[:4]
+        fn = lambda points, mask: predict(params, points, mask)
+    else:
+        fn = lambda points, mask: predict(params, points, mask)[:4]
+    # expose the underlying jit + params for cost analysis (bench roofline)
+    fn._jit, fn._params = predict, params
+    return fn
 
 
 class DetectModule(Module):

@@ -72,6 +72,11 @@ class MapperConfig:
     loop_max_correction_deg: float = 30.0
     optimize_every: int = 10              # keyframes between PGO runs
     gps_info: float = 0.25                # 1/sigma^2 for GPS priors
+    # GNSS altitude is a different datum than the map's z (and far
+    # noisier than RTK xy); the reference constrains XY only by default
+    # (hdl_graph_slam gps_edge_stddev_xy).  Enable z only with a
+    # surveyed altitude datum.
+    gps_use_z: bool = False
     orient_info: float = 1.0              # 1/sigma^2 for IMU/INS attitude
                                           # priors (hdl_graph_slam_nodelet
                                           # .cpp:462-521 imu_orientation)
@@ -108,7 +113,7 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def process_scan(self, points, stamps, mask, imu, imu_mask,
-                     stamp_us: int = 0, gps_xyz=None,
+                     stamp_us: int = 0, gps_xyz=None, gps_info=None,
                      vel_obs=None, vel_obs_valid=None,
                      images=None, orient_quat=None) -> Dict:
         """Feed one (padded) scan; returns dict(pose, is_keyframe, info)."""
@@ -132,7 +137,8 @@ class Mapper:
             # by v * sweep_time and biases loop ICP + saved maps
             pts_kf = np.asarray(info["points_und"])
             loop = self._add_keyframe(pts_kf, mask, odom_pose, stamp_us,
-                                      gps_xyz, images=images,
+                                      gps_xyz, gps_info=gps_info,
+                                      images=images,
                                       orient_quat=orient_quat)
         # publish in the map frame: graph corrections (loop closures, GPS)
         # snap the live pose, not just the stored keyframes
@@ -143,7 +149,7 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _add_keyframe(self, points, mask, odom_pose, stamp_us, gps_xyz,
-                      images=None, orient_quat=None):
+                      gps_info=None, images=None, orient_quat=None):
         cfg = self.cfg
         pts4 = np.asarray(points, np.float32)
         if pts4.shape[1] == 3:
@@ -167,7 +173,10 @@ class Mapper:
             T_rel = np.linalg.inv(prev.odom) @ kf.odom
             self.graph.add_se3_edge(kid - 1, kid, T_rel, rot_info=400.0, trans_info=400.0)
         if gps_xyz is not None:
-            self.graph.add_gps_prior(kid, gps_xyz, info=cfg.gps_info)
+            self.graph.add_gps_prior(kid, gps_xyz,
+                                     xy_only=not cfg.gps_use_z,
+                                     info=(gps_info if gps_info is not None
+                                           else cfg.gps_info))
         if orient_quat is not None:
             # IMU/INS attitude prior on the keyframe (ref
             # hdl_graph_slam_nodelet.cpp:462-521 imu_orientation edges)

@@ -90,10 +90,29 @@ def make_recording(sim, out_root: str, t_start: float = 0.0,
 
 
 def _ate(est: np.ndarray, gt: np.ndarray, warmup: int) -> float:
+    """ATE RMSE after least-squares SE3 alignment (Umeyama, no scale) of
+    the post-warmup positions.  Single-pose alignment (round-2 harness)
+    injects the anchor pose's own error + heading-lever error into every
+    other pose — at 100 m extents a 2 mrad heading error reads as 0.2 m
+    of fake ATE."""
     n = min(len(est), len(gt))
-    A = gt[warmup] @ np.linalg.inv(est[warmup])
-    e = np.einsum("ij,njk->nik", A, est[warmup:n])
-    err = np.linalg.norm(e[:, :3, 3] - gt[warmup:n, :3, 3], axis=1)
+    P = est[warmup:n, :3, 3]
+    Q = gt[warmup:n, :3, 3]
+    mp, mq = P.mean(0), Q.mean(0)
+    H = (P - mp).T @ (Q - mq)
+    U, _S, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    t = mq - R @ mp
+    err = np.linalg.norm((P @ R.T + t) - Q, axis=1)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+def _abs_err(est: np.ndarray, gt: np.ndarray, warmup: int) -> float:
+    """RMSE WITHOUT alignment — meaningful when GNSS anchors the map in
+    the world frame (absolute accuracy, docs/slam.md:217-233 style)."""
+    n = min(len(est), len(gt))
+    err = np.linalg.norm(est[warmup:n, :3, 3] - gt[warmup:n, :3, 3], axis=1)
     return float(np.sqrt(np.mean(err ** 2)))
 
 
@@ -190,6 +209,11 @@ def run_session(rec: Dict, map_dir: str, sim, name: str,
         metrics["ate_keyframes_m"] = round(_ate(np.stack(kf_est), gts, 2), 4)
         metrics["ate_keyframes_odom_only_m"] = round(
             _ate(np.stack(kf_odom), gts, 2), 4)
+        # absolute (unaligned) accuracy — the GNSS priors anchor the map
+        # in the world frame, so this is the headline number for
+        # GPS-assisted sessions
+        metrics["abs_keyframes_rmse_m"] = round(
+            _abs_err(np.stack(kf_est), gts, 2), 4)
     p.release()
     clear_interfaces()
     return metrics
@@ -343,26 +367,47 @@ def main(argv=None):
         progress=lambda m: print("campaign:", m, flush=True))
     print("campaign: B:", json.dumps(results["session_b"]), flush=True)
 
-    # distributed merge + merged-map accuracy vs ground truth
+    # distributed merge + merged-map accuracy vs ground truth.  The
+    # Schur solver needs a device MESH; when this process holds a single
+    # chip, the merge runs in a subprocess on the 8-device virtual CPU
+    # mesh (same environment dryrun_multichip validates).
     print("campaign: merging A+B (distributed Schur)...", flush=True)
     try:
-        m = merge_distributed(map_a, map_b, os.path.join(args.out, "merged"))
-        results["merge"] = {k: v for k, v in m.items()
-                            if k not in ("builder", "info")}
+        import jax as _jax
+        merged_dir = os.path.join(args.out, "merged")
+        merge_json = os.path.join(args.out, "merge.json")
+        if len(_jax.devices()) >= 2:
+            m = merge_distributed(map_a, map_b, merged_dir)
+            results["merge"] = {k: v for k, v in m.items()
+                                if k not in ("builder", "info")}
+        else:
+            import sys as _sys
+            env = dict(os.environ,
+                       JAX_PLATFORMS="cpu",
+                       XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                                  " --xla_force_host_platform_device_count=8"
+                                  ).strip())
+            subprocess.run(
+                [_sys.executable, "-m", "lsd_tpu.tools.campaign_merge",
+                 map_a, map_b, merged_dir, merge_json],
+                check=True, timeout=3600, env=env, cwd=REPO)
+            with open(merge_json) as fh:
+                results["merge"] = json.load(fh)
+        # score the SAVED merged map (works for both paths)
         from ..slam.map_io import load_map
-        b = m["builder"]
-        stamps = (list(load_map(map_a)["stamps"])
-                  + list(load_map(map_b)["stamps"]))
+        md = load_map(merged_dir)
         ts_to_gt = {int(t): T for t, T in zip(rec_a["ts_us"], rec_a["gt"])}
         ts_to_gt.update({int(t): T for t, T in zip(rec_b["ts_us"], rec_b["gt"])})
         est, gts = [], []
-        for k in range(b.num_nodes):
-            if int(stamps[k]) in ts_to_gt:
-                est.append(b.node_pose(k).astype(float))
-                gts.append(ts_to_gt[int(stamps[k])])
+        for s, T in zip(md["stamps"], md["poses"]):
+            if int(s) in ts_to_gt:
+                est.append(np.asarray(T, float))
+                gts.append(ts_to_gt[int(s)])
         if len(est) > 10:
             results["merge"]["ate_merged_m"] = round(
                 _ate(np.stack(est), np.stack(gts), 2), 4)
+            results["merge"]["abs_merged_rmse_m"] = round(
+                _abs_err(np.stack(est), np.stack(gts), 2), 4)
             results["merge"]["merged_nodes_scored"] = len(est)
     except Exception as exc:
         import traceback

@@ -56,34 +56,42 @@ def datasheet_peaks() -> Dict[str, float]:
     return DATASHEET["cpu"]
 
 
-def measure_peaks(size_mm: int = 4096, size_copy_mb: int = 256) -> Dict[str, float]:
-    """Measured single-chip peaks: bf16 matmul TFLOP/s + f32 stream GB/s."""
+def measure_peaks(size_mm: int = 4096, size_copy_mb: int = 256,
+                  inner: int = 32) -> Dict[str, float]:
+    """Measured single-chip peaks: bf16 matmul TFLOP/s + f32 stream GB/s.
+
+    The ``inner`` chained iterations run inside ONE jitted fori_loop —
+    on the tunneled transport every dispatch costs ~1.5 ms synchronous
+    overhead, so per-op python loops measure the tunnel, not the chip
+    (first version read 38 TFLOP/s on a 197 TFLOP/s part)."""
     import jax
     import jax.numpy as jnp
     _ = jax.device_get(jnp.zeros(1))          # force synchronous transport
 
     a = jnp.ones((size_mm, size_mm), jnp.bfloat16)
-    mm = jax.jit(lambda x, y: x @ y)
-    _ = jax.device_get(mm(a, a)[0, 0])        # compile+warm
-    n_rep = 8
+
+    @jax.jit
+    def mm_chain(x, y):
+        return jax.lax.fori_loop(0, inner, lambda i, c: y @ c * 0.5 + x * 0.5,
+                                 x)
+    _ = jax.device_get(mm_chain(a, a)[0, 0])  # compile+warm
     t0 = time.perf_counter()
-    out = a
-    for _i in range(n_rep):
-        out = mm(out, a)
+    out = mm_chain(a, a)
     _ = jax.device_get(out[0, 0])
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = (time.perf_counter() - t0) / inner
     mxu_tflops = 2 * size_mm ** 3 / dt / 1e12
 
     n = size_copy_mb * 1024 * 1024 // 4
     b = jnp.ones((n,), jnp.float32)
-    addc = jax.jit(lambda x: x + 1.0)
-    _ = jax.device_get(addc(b)[0])
+
+    @jax.jit
+    def add_chain(x):
+        return jax.lax.fori_loop(0, inner, lambda i, c: c + 1.0, x)
+    _ = jax.device_get(add_chain(b)[0])
     t0 = time.perf_counter()
-    out = b
-    for _i in range(n_rep):
-        out = addc(out)
+    out = add_chain(b)
     _ = jax.device_get(out[0])
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = (time.perf_counter() - t0) / inner
     hbm_gbps = 2 * n * 4 / dt / 1e9           # read + write
 
     return dict(measured_mxu_tflops=round(mxu_tflops, 1),
