@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..ops.voxelize import voxelize_dynamic
 from .bev_backbone import BEVBackbone
 from .center_head import CenterHead, decode_boxes
-from .vfe import PillarVFE, scatter_to_bev
+from .vfe import (MeanVFE, PillarVFE, VoxelHeightEncoder, scatter_to_bev,
+                  scatter_to_voxel_bev)
 
 
 class DetectorConfig(NamedTuple):
@@ -33,12 +34,22 @@ class DetectorConfig(NamedTuple):
     # resolution (the round-1 default); 2 halves them — used by the
     # reference-capacity config so a 640^2 grid decodes on 320^2 maps.
     bev_stride: int = 1
+    # "pillar": PillarVFE -> scatter_to_bev (PointPillar path).
+    # "voxel": MeanVFE over 3D voxels -> height-compressed BEV volume ->
+    #          VoxelHeightEncoder — the dense-TPU analog of the reference's
+    #          CenterPoint-VoxelNet height compression (point_pillar.py
+    #          to_bev of the spconv volume); voxel_size[2] sets the z bins.
+    encoder: str = "pillar"
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
         W = int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0]))
         H = int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1]))
         return H, W
+
+    @property
+    def grid_z(self) -> int:
+        return int(round((self.pc_range[5] - self.pc_range[2]) / self.voxel_size[2]))
 
     @property
     def head_hw(self) -> Tuple[int, int]:
@@ -68,10 +79,16 @@ class CenterPointDetector(nn.Module):
         voxels, coords, num_pts, vmask = voxelize_dynamic(
             points, mask, cfg.voxel_size, cfg.pc_range,
             cfg.max_voxels, cfg.max_points_per_voxel)
-        feats = PillarVFE(cfg.pillar_filters, tuple(cfg.voxel_size),
-                          tuple(cfg.pc_range))(voxels, coords, num_pts)
-        feats = feats * vmask[:, None]
-        bev = scatter_to_bev(feats, coords, vmask, cfg.grid_hw)
+        if cfg.encoder == "voxel":
+            feats = MeanVFE()(voxels, num_pts) * vmask[:, None]
+            vol = scatter_to_voxel_bev(feats, coords, vmask, cfg.grid_hw,
+                                       cfg.grid_z)
+            bev = VoxelHeightEncoder(cfg.pillar_filters)(vol)
+        else:
+            feats = PillarVFE(cfg.pillar_filters, tuple(cfg.voxel_size),
+                              tuple(cfg.pc_range))(voxels, coords, num_pts)
+            feats = feats * vmask[:, None]
+            bev = scatter_to_bev(feats, coords, vmask, cfg.grid_hw)
         x = BEVBackbone(strides=(cfg.bev_stride, 2, 2))(bev)
         return CenterHead(num_classes=cfg.num_classes)(x)
 

@@ -43,23 +43,21 @@ def scenarios(n_scans: int, cap: int):
 
 
 def _ate(est_T: np.ndarray, gt_T: np.ndarray, warmup: int) -> float:
-    """ATE RMSE after rigid alignment at the warmup pose (both stacks start
-    in their own odometry frame)."""
-    n = min(len(est_T), len(gt_T))
-    A = gt_T[warmup] @ np.linalg.inv(est_T[warmup])
-    e = np.einsum("ij,njk->nik", A, est_T[warmup:n])
-    err = np.linalg.norm(e[:, :3, 3] - gt_T[warmup:n, :3, 3], axis=1)
-    return float(np.sqrt(np.mean(err ** 2)))
+    """Standard Umeyama-aligned ATE RMSE, applied identically to both
+    stacks (single-pose alignment injects the anchor pose's heading error
+    as fake ATE — see utils/metrics.py)."""
+    from ..utils.metrics import ate_rmse
+    return ate_rmse(est_T, gt_T, warmup)
 
 
-def run_tpu_lio(sim, data, warmup: int):
+def run_tpu_lio(sim, data, warmup: int, **cfg_over):
     """Cold-start TPU LIO over the scenario; returns (ate, ms_per_scan,
     max_degen)."""
     import jax
     import jax.numpy as jnp
     from ..slam import LioConfig, lio_init, lio_step
     cfg = LioConfig(ds_capacity=16384, map_capacity=2 ** 18,
-                    scan_voxel=0.4, map_voxel=0.4, max_iters=4)
+                    scan_voxel=0.4, map_voxel=0.4, max_iters=4, **cfg_over)
     st = lio_init(cfg)            # cold start: identity, zero velocity
     _ = jax.device_get(jnp.zeros(1))    # force synchronous timing mode
     poses, degen = [], []
@@ -118,6 +116,12 @@ def main(argv=None):
     ap.add_argument("--scans", type=int, default=225)
     ap.add_argument("--points", type=int, default=2 ** 15)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--research-ablation", action="store_true",
+                    help="also run each scenario with research_thresh=0 — "
+                         "the sharded map-block step's semantics "
+                         "(parallel/sharded_map.py disables in-iterate "
+                         "plane re-search for SPMD safety); the delta is "
+                         "the accuracy cost of sharding (VERDICT r2 #4)")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,6 +142,11 @@ def main(argv=None):
         data = sim.generate(capacity=args.points, imu_capacity=16)
         print(f"eval: {name}: tpu lio...", flush=True)
         ate, ms, max_degen = run_tpu_lio(sim, data, warmup)
+        ate_nrs = None
+        if args.research_ablation:
+            print(f"eval: {name}: tpu lio (no re-search)...", flush=True)
+            ate_nrs, _, _ = run_tpu_lio(sim, data, warmup,
+                                        research_thresh=0.0)
         ref = None
         if not args.skip_reference:
             print(f"eval: {name}: reference fastlio...", flush=True)
@@ -146,7 +155,9 @@ def main(argv=None):
                          tpu_ate_m=round(ate, 4), tpu_ms=round(ms, 2),
                          max_degen_dirs=max_degen,
                          ref_ate_m=None if ref is None else round(ref[0], 4),
-                         ref_ms=None if ref is None else round(ref[1], 2)))
+                         ref_ms=None if ref is None else round(ref[1], 2),
+                         **({} if ate_nrs is None
+                            else dict(tpu_ate_no_research_m=round(ate_nrs, 4)))))
         print("eval:", json.dumps(rows[-1]), flush=True)
 
     md = ["| scenario | scans | TPU ATE (m) | TPU ms/scan | degen dirs "

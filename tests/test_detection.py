@@ -312,3 +312,36 @@ def test_voxel_height_encoder_nondivisible_filters():
     out = enc.apply(params, vol)
     assert out.shape == (8, 8, 48)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_voxel_encoder_detector_forward_and_grad():
+    """encoder='voxel' wires MeanVFE -> scatter_to_voxel_bev ->
+    VoxelHeightEncoder into the detector (ADVICE r2 #1): forward shapes,
+    finite loss, nonzero gradients."""
+    from lsd_tpu.models import (CenterPointDetector, DetectorConfig,
+                                detection_loss, make_target_maps)
+
+    cfg = DetectorConfig(pc_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 3.0),
+                         voxel_size=(0.5, 0.5, 1.5), max_voxels=256,
+                         max_points_per_voxel=4, max_boxes=16,
+                         encoder="voxel")
+    assert cfg.grid_z == 4
+    model = CenterPointDetector(cfg)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-7, 7, (512, 4)).astype(np.float32))
+    msk = jnp.ones((512,), bool)
+    params = model.init(jax.random.PRNGKey(0), pts, msk)
+    preds = model.apply(params, pts, msk)
+    H, W = cfg.head_hw
+    assert preds["heatmap"].shape == (H, W, cfg.num_classes)
+
+    gt = jnp.asarray([[1.0, 1.0, 0.0, 4.0, 2.0, 1.6, 0.3]], jnp.float32)
+    tgt = make_target_maps(cfg, gt, jnp.zeros(1, jnp.int32), jnp.ones(1, bool))
+
+    def loss_fn(p):
+        return detection_loss(model.apply(p, pts, msk), tgt)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gnorm > 0
