@@ -158,7 +158,11 @@ class SlamModule(Module):
             mcfg = MapperConfig(
                 lio=LioConfig(scan_voxel=cfg.slam.resolution,
                               map_voxel=cfg.slam.resolution),
-                keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1])
+                keyframe_delta_trans=kfi[0], keyframe_delta_angle=kfi[1],
+                # graph work (descriptor/loops/PGO) on a background
+                # thread so odometry publishes at sensor rate (ref
+                # fastlio.cpp runGraph + slam.cpp runMappingThread)
+                async_graph=bool(getattr(cfg.slam, "async_graph", True)))
             if str(getattr(cfg.slam, "method", "FastLIO")) == "RTKM":
                 # GNSS-interpolated mapping, no LiDAR odometry (ref
                 # slam.cpp getMappingTypeByName RTKM -> rtkm.cpp)

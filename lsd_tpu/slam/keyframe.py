@@ -96,3 +96,29 @@ class KeyframeStore:
             sel = np.random.default_rng(0).choice(len(out), max_points, replace=False)
             out = out[sel]
         return out
+
+    def merged_cloud_relative(self, ids, ref_id: int,
+                              max_points: Optional[int] = None) -> np.ndarray:
+        """Concatenate keyframe clouds in keyframe ``ref_id``'s SENSOR frame,
+        posing each by the raw ODOMETRY-relative transform ref^-1 * odom_i.
+
+        For a contiguous keyframe window this is rigid and immune to pose-
+        graph deformation: loop verification against it measures pure sensor
+        geometry, so a previous bad optimization cannot contaminate new loop
+        edges (campaign r3: world-frame targets mixed inconsistently-dragged
+        poses and biased every subsequent edge)."""
+        ref_inv = np.linalg.inv(self.frames[ref_id].odom)
+        clouds = []
+        for i in ids:
+            kf = self.frames[i]
+            T = ref_inv @ kf.odom
+            pts = kf.cloud[:, :3] @ T[:3, :3].T + T[:3, 3]
+            clouds.append(pts.astype(np.float32))
+        if not clouds:
+            return np.zeros((0, 3), np.float32)
+        out = np.concatenate(clouds, axis=0)
+        if max_points is not None and len(out) > max_points:
+            sel = np.random.default_rng(0).choice(len(out), max_points,
+                                                  replace=False)
+            out = out[sel]
+        return out

@@ -16,6 +16,8 @@ jitted JAX call:
 from __future__ import annotations
 
 import dataclasses
+import queue as _queue
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -54,6 +56,25 @@ class MapperConfig:
     loop_icp_iters: int = 20
     loop_map_voxel: float = 0.25
     loop_map_capacity: int = 2 ** 17
+    loop_window: int = 8                  # +-keyframes of odometry-rigid
+                                          # context around the candidate
+    # odometry-edge information (1/sigma^2).  The LIO's relative accuracy
+    # over a 2 m keyframe interval is mm-level (bench ATE 0.4 mm/225
+    # scans; campaign odometry-only keyframe ATE 2-5 mm over 870
+    # keyframes), so sigma_t = 1 cm / sigma_rot = 5 mrad is already
+    # conservative.  The round-2 fixed info 400 (sigma 5 cm) underweighted
+    # odometry ~25x against GPS priors (sigma 5-10 cm), letting prior
+    # noise deform the graph to the GPS noise floor (reference role:
+    # information_matrix_calculator.cpp fitness-scaled edge info).
+    odom_rot_info: float = 4.0e4
+    odom_trans_info: float = 1.0e4
+    # run descriptor/loop-detection/PGO on a background worker thread so
+    # the per-scan odometry path never blocks on graph work — the
+    # reference's architecture exactly (fastlio.cpp runGraph every ~3 s +
+    # slam.cpp runMappingThread; odometry publishes at sensor rate).
+    # Synchronous by default for deterministic unit tests; the pipeline
+    # module enables it (cfg.slam.async_graph).
+    async_graph: bool = False
     loop_max_residual: float = 0.08       # mean |p2plane| acceptance (m)
     loop_min_inliers: int = 200           # absolute aligned-point floor
     # information from the ICP Hessian (ref: hdl_graph_slam
@@ -105,6 +126,15 @@ class Mapper:
             correction=0, accepted=0)
         self.origin_lla: Optional[np.ndarray] = None
         self._kf_since_opt = 0
+        # graph mutations happen on two threads under async_graph (main:
+        # nodes/odom edges/priors; worker: loop edges + optimize)
+        self._graph_lock = threading.RLock()
+        self._worker_q: Optional[_queue.Queue] = None
+        if cfg.async_graph:
+            self._worker_q = _queue.Queue(maxsize=8)
+            self._worker = threading.Thread(target=self._graph_worker,
+                                            name="graph-worker", daemon=True)
+            self._worker.start()
         # map-frame correction of the raw LIO odometry, refreshed on every
         # graph optimization and composed into every published pose
         # (ref: hdl_graph_slam_nodelet.cpp:600-651 trans_odom2map broadcast,
@@ -167,26 +197,40 @@ class Mapper:
                       cloud=cloud, images=dict(images or {}),
                       accum_distance=self.updater.accum_distance)
         kid = self.store.add(kf)
-        self.graph.add_node(pose, fixed=(kid == 0))
-        if kid > 0:
-            prev = self.store[kid - 1]
-            T_rel = np.linalg.inv(prev.odom) @ kf.odom
-            self.graph.add_se3_edge(kid - 1, kid, T_rel, rot_info=400.0, trans_info=400.0)
-        if gps_xyz is not None:
-            self.graph.add_gps_prior(kid, gps_xyz,
-                                     xy_only=not cfg.gps_use_z,
-                                     info=(gps_info if gps_info is not None
-                                           else cfg.gps_info))
-        if orient_quat is not None:
-            # IMU/INS attitude prior on the keyframe (ref
-            # hdl_graph_slam_nodelet.cpp:462-521 imu_orientation edges)
-            self.graph.add_orientation_prior(
-                kid, np.asarray(orient_quat, np.float32),
-                info=cfg.orient_info)
-        if cfg.use_floor_prior:
-            self._add_floor_prior(kid, cloud)
+        with self._graph_lock:
+            self.graph.add_node(pose, fixed=(kid == 0))
+            if kid > 0:
+                prev = self.store[kid - 1]
+                T_rel = np.linalg.inv(prev.odom) @ kf.odom
+                self.graph.add_se3_edge(kid - 1, kid, T_rel,
+                                        rot_info=cfg.odom_rot_info,
+                                        trans_info=cfg.odom_trans_info)
+            if gps_xyz is not None:
+                self.graph.add_gps_prior(kid, gps_xyz,
+                                         xy_only=not cfg.gps_use_z,
+                                         info=(gps_info if gps_info is not None
+                                               else cfg.gps_info))
+            if orient_quat is not None:
+                # IMU/INS attitude prior on the keyframe (ref
+                # hdl_graph_slam_nodelet.cpp:462-521 imu_orientation edges)
+                self.graph.add_orientation_prior(
+                    kid, np.asarray(orient_quat, np.float32),
+                    info=cfg.orient_info)
+            if cfg.use_floor_prior:
+                self._add_floor_prior(kid, cloud)
 
-        # ScanContext + loop detection
+        if self._worker_q is not None:
+            # graph work off the odometry path (ref runGraph thread);
+            # bounded queue = backpressure if the worker falls behind
+            self._worker_q.put((kid, pts4, np.asarray(mask)))
+            return None
+        return self._kf_graph_work(kid, pts4, mask)
+
+    # ------------------------------------------------------------------
+    def _kf_graph_work(self, kid, pts4, mask):
+        """Descriptor + loop detection + periodic PGO for one keyframe
+        (worker thread under async_graph, inline otherwise)."""
+        cfg = self.cfg
         desc = make_descriptor(jnp.asarray(pts4[:, :3]), jnp.asarray(mask))
         loop = self._detect_loop(kid, desc)
         self.sc_db = sc_db_add(self.sc_db, desc)
@@ -196,6 +240,25 @@ class Mapper:
         if self._kf_since_opt >= cfg.optimize_every:
             self.optimize_graph()
         return loop
+
+    def _graph_worker(self) -> None:
+        while True:
+            job = self._worker_q.get()
+            if job is None:
+                self._worker_q.task_done()
+                return
+            try:
+                self._kf_graph_work(*job)
+            except Exception:       # pragma: no cover - diagnostics only
+                import traceback
+                traceback.print_exc()
+            finally:
+                self._worker_q.task_done()
+
+    def flush(self) -> None:
+        """Drain pending background graph work (no-op when synchronous)."""
+        if self._worker_q is not None:
+            self._worker_q.join()
 
     # ------------------------------------------------------------------
     def _add_floor_prior(self, kid: int, cloud: np.ndarray) -> None:
@@ -244,10 +307,20 @@ class Mapper:
         if kf.accum_distance - cand_kf.accum_distance < cfg.loop_min_distance:
             self.loop_stats["travel"] += 1
             return None
-        # verify with ICP: align current cloud to candidate's neighborhood map
-        ids = [i for i in self.store.within_radius(cand_kf.pose[:3, 3], 25.0)
+        # verify with ICP in the CANDIDATE's odometry-rigid frame: the
+        # target is a contiguous keyframe window posed by raw odometry
+        # relative to the candidate (merged_cloud_relative) — rigid and
+        # immune to pose-graph deformation, so a previous bad optimization
+        # cannot bias new loop edges (world-frame targets mixed
+        # inconsistently-dragged poses and cascaded meter-level edge
+        # errors in the r3 campaign).  The ICP result IS the edge
+        # measurement T_i^-1 T_j directly.
+        w = cfg.loop_window
+        ids = [i for i in range(max(cand - w, 0),
+                                min(cand + w, len(self.store) - 1) + 1)
                if abs(i - kid) > 2]
-        target = self.store.merged_cloud(ids, max_points=2 ** 16)
+        target = self.store.merged_cloud_relative(ids, cand,
+                                                  max_points=2 ** 16)
         if len(target) < 1000:
             self.loop_stats["target"] += 1
             return None
@@ -266,8 +339,11 @@ class Mapper:
         src_pad[:len(src)] = src
         smask = np.zeros(scap, bool)
         smask[:len(src)] = True
-        q0 = so3.matrix_to_quat(jnp.asarray(kf.pose[:3, :3], jnp.float32))
-        t0 = jnp.asarray(kf.pose[:3, 3], jnp.float32)
+        # initial guess: current graph estimate of the relative pose
+        # (an estimate only — the measurement basis is pure odometry)
+        T0 = np.linalg.inv(cand_kf.pose) @ kf.pose
+        q0 = so3.matrix_to_quat(jnp.asarray(T0[:3, :3], jnp.float32))
+        t0 = jnp.asarray(T0[:3, 3], jnp.float32)
         q, t, icp_info = icp_point_to_plane(
             m, jnp.asarray(src_pad), jnp.asarray(smask), q0, t0,
             iters=cfg.loop_icp_iters, plane_thresh=0.1, max_dist=0.5,
@@ -284,23 +360,21 @@ class Mapper:
         if float(icp_info["mean_residual"]) > cfg.loop_max_residual:
             self.loop_stats["residual"] += 1
             return None
-        T_w = np.eye(4)
-        T_w[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
-        T_w[:3, 3] = np.asarray(t)
-        # gross-mismatch gate vs the current estimate
-        D = np.linalg.inv(kf.pose) @ T_w
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
+        T_rel[:3, 3] = np.asarray(t)
+        # gross-mismatch gate vs the current relative estimate
+        D = np.linalg.inv(T0) @ T_rel
         d_ang = np.degrees(np.arccos(np.clip((np.trace(D[:3, :3]) - 1) / 2,
                                              -1.0, 1.0)))
         if np.linalg.norm(D[:3, 3]) > cfg.loop_max_correction_t or \
                 d_ang > cfg.loop_max_correction_deg:
             self.loop_stats["correction"] += 1
             return None
-        T_rel = np.linalg.inv(cand_kf.pose) @ T_w
         # anisotropic information from the ICP Hessian: cov = sigma^2 *
-        # inv(JtJ) in world basis at the source pose ([rot, trans]);
-        # rotate translation/rotation blocks into node i's (candidate's)
-        # frame — the frame the graph residual whitens in — then per-axis
-        # info = discount/diag(cov), capped.
+        # inv(JtJ), already expressed in node i's (candidate's) frame —
+        # the frame the graph residual whitens in; per-axis info =
+        # discount/diag(cov), capped.
         A6 = np.asarray(icp_info["JtJ"], float)
         sigma = max(float(icp_info["mean_residual"]), 0.01)
         try:
@@ -308,35 +382,37 @@ class Mapper:
         except np.linalg.LinAlgError:
             self.loop_stats["fitness"] += 1
             return None
-        Ri = cand_kf.pose[:3, :3]
-        cov_rot = Ri.T @ cov[:3, :3] @ Ri
-        cov_t = Ri.T @ cov[3:, 3:] @ Ri
         info6 = cfg.loop_info_discount / np.maximum(
-            np.concatenate([np.diag(cov_rot), np.diag(cov_t)]), 1e-12)
+            np.concatenate([np.diag(cov[:3, :3]), np.diag(cov[3:, 3:])]),
+            1e-12)
         info6 = np.clip(info6, 0.0, cfg.loop_info_max)
-        self.graph.add_se3_edge(cand, kid, T_rel, rot_info=info6[:3],
-                                trans_info=info6[3:])
+        with self._graph_lock:
+            self.graph.add_se3_edge(cand, kid, T_rel, rot_info=info6[:3],
+                                    trans_info=info6[3:])
         self.loops.append((cand, kid))
         self.loop_stats["accepted"] += 1
         return (cand, kid)
 
     # ------------------------------------------------------------------
     def optimize_graph(self) -> None:
-        if self.graph.num_nodes < 2:
-            return
-        data, info = optimize(self.graph.to_data(), self.cfg.pgo)
-        self.graph.update_from(data)
-        for i in range(self.graph.num_nodes):
-            self.store.frames[i].pose = self.graph.node_pose(i).astype(float)
-        self._kf_since_opt = 0
-        # refresh the odometry->map correction from the newest keyframe
-        # (ref hdl_graph_slam_nodelet.cpp:600-651: trans_odom2map =
-        # keyframe->node->estimate() * keyframe->odom.inverse())
-        last = self.store.frames[-1]
-        self.odom2map = last.pose @ np.linalg.inv(last.odom)
+        with self._graph_lock:
+            if self.graph.num_nodes < 2:
+                return
+            data, info = optimize(self.graph.to_data(), self.cfg.pgo)
+            self.graph.update_from(data)
+            n = self.graph.num_nodes
+            for i in range(n):
+                self.store.frames[i].pose = self.graph.node_pose(i).astype(float)
+            self._kf_since_opt = 0
+            # refresh the odometry->map correction from the newest
+            # OPTIMIZED keyframe (ref hdl_graph_slam_nodelet.cpp:600-651:
+            # trans_odom2map = node->estimate() * keyframe->odom^-1)
+            last = self.store.frames[n - 1]
+            self.odom2map = last.pose @ np.linalg.inv(last.odom)
 
     # ------------------------------------------------------------------
     def save(self, map_dir: str) -> str:
+        self.flush()
         self.optimize_graph()
         stamps = [kf.stamp_us for kf in self.store.frames]
         poses = [kf.pose for kf in self.store.frames]

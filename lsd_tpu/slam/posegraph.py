@@ -83,6 +83,19 @@ class PgoConfig(NamedTuple):
     huber_delta: float = 1.0      # on whitened residual norm
     gps_chi2_gate: float = 25.0   # disable GNSS priors above this chi2
     damping: float = 1e-6
+    # Dynamic Covariance Scaling (Agarwal et al., ICRA 2013) on LOOP /
+    # cross-session edges (any SE3 edge with |i-j| > 1; consecutive
+    # odometry edges are never scaled): information is scaled by
+    # s^2 = min(1, 2*phi/(phi + chi2)), re-evaluated each outer round, so
+    # a grossly-wrong loop (chi2 >> phi) contributes ~phi/chi2 -> 0 while
+    # a true loop recovers as the graph converges toward it.  This is the
+    # reference's robust_graph_optimize role (backend_api.h:63 — its
+    # max-clique gate serves the same "aliased match must not bend the
+    # graph" purpose).  Campaign r3 measured loop edges with p95 trans
+    # error 4.9 m passing all detection gates in an aliased world; Huber
+    # alone (linear influence) let them deform an mm-accurate graph to
+    # 0.28-1.9 m ATE.  0 disables.
+    dcs_phi: float = 4.0
 
 
 def empty_graph(n_nodes: int, n_se3: int, n_gps: int = 0, n_floor: int = 0,
@@ -251,6 +264,13 @@ def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
         r_gps_raw = _gps_residual(
             nodes, graph.gps._replace(mask=graph.gps.mask & gps_on), dx0)
         rw_se3 = _huber_weights(r_se3_raw, cfg.huber_delta)
+        if cfg.dcs_phi > 0:
+            is_loop = jnp.abs(graph.se3.idx[:, 0]
+                              - graph.se3.idx[:, 1]) > 1
+            chi2_se3 = jnp.sum(r_se3_raw ** 2, axis=-1)
+            s2 = jnp.minimum(1.0, 2.0 * cfg.dcs_phi
+                             / (cfg.dcs_phi + chi2_se3))
+            rw_se3 = rw_se3 * jnp.where(is_loop, jnp.sqrt(s2), 1.0)
         rw_gps = _huber_weights(r_gps_raw, cfg.huber_delta) * gps_on.astype(jnp.float32)
         chi2 = jnp.sum(r_gps_raw ** 2, axis=-1)
         gps_on_new = gps_on & (chi2 < cfg.gps_chi2_gate)

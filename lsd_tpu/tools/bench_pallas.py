@@ -13,7 +13,6 @@ Usage: python -m lsd_tpu.tools.bench_pallas [--scans 100]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 
@@ -80,7 +79,7 @@ def main(argv=None):
 
     ms_xla, pos_xla = run_variant(base, dev, nav0, n_warm)
     ms_pal, pos_pal = run_variant(
-        dataclasses.replace(base, use_pallas_p2p=True), dev, nav0, n_warm)
+        base._replace(use_pallas_p2p=True), dev, nav0, n_warm)
 
     drift = float(np.max(np.linalg.norm(pos_xla - pos_pal, axis=1)))
     print(json.dumps(dict(

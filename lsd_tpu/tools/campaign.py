@@ -40,6 +40,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 
+def make_sim(seed: int, laps: float, radius: float = 30.0,
+             speed: float = 5.0, points: int = 16384):
+    """The campaign's figure-eight session simulator (shared with the
+    per-session subprocess, tools/campaign_session.py)."""
+    from ..sim import FigureEightSim, SimConfig
+    n = int((1.5 + 2.0 + 4 * np.pi * radius * laps / speed) * 10)
+    return FigureEightSim(
+        SimConfig(radius=radius, speed=speed, points_per_scan=points,
+                  point_noise=0.01, rest_time=1.5, ramp_time=2.0, seed=seed,
+                  n_scans=n),
+        # per-frame fixes (the reference's InsDriver.trigger interpolates
+        # a fix for EVERY frame) so keyframes always carry a GPS prior
+        laps=laps, gps_noise=0.05, gps_outlier_rate=0.02, gps_hz=10.0)
+
+
 def make_recording(sim, out_root: str, t_start: float = 0.0,
                    n_scans: Optional[int] = None, capacity: int = 16384,
                    gps: bool = True, progress=None) -> Dict:
@@ -52,6 +67,7 @@ def make_recording(sim, out_root: str, t_start: float = 0.0,
     total = n_scans if n_scans is not None else int(sim.duration() / period)
     rec = FrameRecorder(out_root)
     gts, tss = [], []
+    gt_path = os.path.join(out_root, "gt.npz")
     gps_every = max(1, int(round(cfg.scan_hz / sim.gps_hz))) if gps else 0
     for k in range(total):
         t0 = t_start + k * period
@@ -85,8 +101,12 @@ def make_recording(sim, out_root: str, t_start: float = 0.0,
         tss.append(ts)
         if progress and k % 500 == 0:
             progress(f"record {k}/{total}")
-    return dict(log_dir=rec.log_dir, gt=np.stack(gts),
-                ts_us=np.asarray(tss, np.int64))
+    gt = np.stack(gts)
+    ts_us = np.asarray(tss, np.int64)
+    # persist ground truth next to the recording so session replays can
+    # run in fresh subprocesses (hang isolation) without re-simulating
+    np.savez(gt_path, gt=gt, ts_us=ts_us, log_dir=rec.log_dir)
+    return dict(log_dir=rec.log_dir, gt=gt, ts_us=ts_us, gt_path=gt_path)
 
 
 def _ate(est: np.ndarray, gt: np.ndarray, warmup: int) -> float:
@@ -313,10 +333,16 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    from ..utils.device import keep_session_alive
-    keep_session_alive()
+    import jax as _jax0
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            _jax0.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    if _jax0.default_backend() != "cpu":
+        from ..utils.device import keep_session_alive
+        keep_session_alive()
 
-    from ..sim import FigureEightSim, SimConfig
     if args.small:
         args.laps, args.laps_b, args.points, args.radius = 1.0, 0.6, 4096, 12.0
 
@@ -325,30 +351,47 @@ def main(argv=None):
                                      radius=args.radius, speed=args.speed))
 
     def mksim(seed, laps):
-        n = int((1.5 + 2.0 + 4 * np.pi * args.radius * laps / args.speed) * 10)
-        return FigureEightSim(
-            SimConfig(radius=args.radius, speed=args.speed,
-                      points_per_scan=args.points, point_noise=0.01,
-                      rest_time=1.5, ramp_time=2.0, seed=seed,
-                      n_scans=n),
-            # per-frame fixes (the reference's InsDriver.trigger interpolates
-            # a fix for EVERY frame) so keyframes always carry a GPS prior
-            laps=laps, gps_noise=0.05, gps_outlier_rate=0.02, gps_hz=10.0)
+        return make_sim(seed, laps, radius=args.radius, speed=args.speed,
+                        points=args.points)
+
+    def run_session_isolated(rec_root, rec, map_dir, name, laps,
+                             t_start=0.0):
+        """Session replay in a subprocess with a hard timeout + one retry:
+        a hung device transport kills the child, not the campaign (r3: a
+        tunnel wedge at B scan 114 froze the single-process campaign)."""
+        import sys
+        jout = os.path.join(args.out, f"session_{name}.json")
+        n_total = len(rec["gt"])
+        budget = int(max(1800, n_total * 0.5) + 600)
+        cmd = [sys.executable, "-m", "lsd_tpu.tools.campaign_session",
+               "--rec-root", rec_root, "--map-dir", map_dir,
+               "--name", name, "--t-start", str(t_start),
+               "--laps", str(laps), "--radius", str(args.radius),
+               "--speed", str(args.speed), "--points", str(args.points),
+               "--json-out", jout]
+        for attempt in (1, 2):
+            try:
+                subprocess.run(cmd, timeout=budget, cwd=REPO, check=True)
+                with open(jout) as fh:
+                    return json.load(fh)
+            except Exception as exc:
+                print(f"campaign: session {name} attempt {attempt} "
+                      f"failed: {exc!r}", flush=True)
+        return dict(name=name, error="session failed twice")
 
     t0 = time.time()
     print("campaign: generating session A recording...", flush=True)
     sim_a = mksim(7, args.laps)
-    rec_a = make_recording(sim_a, os.path.join(args.out, "recA"),
-                           capacity=args.points,
+    rec_root_a = os.path.join(args.out, "recA")
+    rec_a = make_recording(sim_a, rec_root_a, capacity=args.points,
                            progress=lambda m: print("campaign:", m, flush=True))
     n_a = len(rec_a["gt"])
     print(f"campaign: session A recorded ({n_a} scans, "
           f"{time.time()-t0:.0f}s)", flush=True)
 
     map_a = os.path.join(args.out, "mapA")
-    results["session_a"] = run_session(
-        rec_a, map_a, sim_a, "A",
-        progress=lambda m: print("campaign:", m, flush=True))
+    results["session_a"] = run_session_isolated(
+        rec_root_a, rec_a, map_a, "A", args.laps)
     print("campaign: A:", json.dumps(results["session_a"]), flush=True)
 
     # session B: same world (same seed => same world), offset start point
@@ -358,13 +401,13 @@ def main(argv=None):
     t_off = (2 * np.pi * args.radius) / args.speed
     n_b = int(4 * np.pi * args.radius * args.laps_b
               / args.speed * sim_b.cfg.scan_hz)
-    rec_b = make_recording(sim_b, os.path.join(args.out, "recB"),
-                           t_start=t_off, capacity=args.points, n_scans=n_b,
+    rec_root_b = os.path.join(args.out, "recB")
+    rec_b = make_recording(sim_b, rec_root_b, t_start=t_off,
+                           capacity=args.points, n_scans=n_b,
                            progress=lambda m: print("campaign:", m, flush=True))
     map_b = os.path.join(args.out, "mapB")
-    results["session_b"] = run_session(
-        rec_b, map_b, sim_b, "B", t_start=t_off,
-        progress=lambda m: print("campaign:", m, flush=True))
+    results["session_b"] = run_session_isolated(
+        rec_root_b, rec_b, map_b, "B", args.laps_b, t_start=t_off)
     print("campaign: B:", json.dumps(results["session_b"]), flush=True)
 
     # distributed merge + merged-map accuracy vs ground truth.  The
