@@ -207,6 +207,14 @@ def _build_round(mesh: Mesh, cfg: PgoConfig, m_int: int, n_sep: int,
         dx0 = jnp.zeros((n, 6), f32)
         r_se3_raw = _se3_residual(nodes, se3, dx0)
         rw_se3_all = _huber_weights(r_se3_raw, cfg.huber_delta)
+        if cfg.dcs_phi > 0:
+            # Dynamic Covariance Scaling on loop/cross edges — identical
+            # semantics to the single-host solver (posegraph.optimize)
+            is_loop = jnp.abs(se3.idx[:, 0] - se3.idx[:, 1]) > 1
+            chi2_se3 = jnp.sum(r_se3_raw ** 2, axis=-1)
+            s2 = jnp.minimum(1.0, 2.0 * cfg.dcs_phi
+                             / (cfg.dcs_phi + chi2_se3))
+            rw_se3_all = rw_se3_all * jnp.where(is_loop, jnp.sqrt(s2), 1.0)
         r_gps_raw = _gps_residual(
             nodes, gps._replace(mask=gps.mask & gps_on), dx0)
         rw_gps_all = (_huber_weights(r_gps_raw, cfg.huber_delta)
@@ -305,17 +313,27 @@ def _build_round(mesh: Mesh, cfg: PgoConfig, m_int: int, n_sep: int,
         Hd = H.transpose(0, 2, 1, 3).reshape(m_ext * 6, m_ext * 6)
         bd = b.reshape(m_ext * 6)
         k = m_int * 6
-        dampI = cfg.damping * jnp.eye(k, dtype=f32)
         # pinned slots (padding / fixed interiors) get unit diagonal
         pin = 1.0 - jnp.repeat(ext_free[:m_int], 6)
-        H_ii = Hd[:k, :k] + dampI + jnp.diag(pin)
+        H_ii = Hd[:k, :k] + jnp.diag(pin)
         H_is = Hd[:k, k:]
         H_ss = Hd[k:, k:]
         b_i = bd[:k]
         b_s = bd[k:]
-        c, low = jax.scipy.linalg.cho_factor(H_ii)
-        X = jax.scipy.linalg.cho_solve((c, low), H_is)      # H_ii^{-1} H_is
-        y = jax.scipy.linalg.cho_solve((c, low), b_i)       # H_ii^{-1} b_i
+        # symmetric Jacobi scaling before the f32 Cholesky: edge
+        # information spans 1e0 (soft loop axes) .. 4e4 (odometry), and an
+        # unscaled f32 factorization of the chain-structured interior
+        # block loses positive-definiteness at campaign scale (1192-node
+        # merge produced NaN poses).  H_ii^{-1} = D^-1/2 Hn^-1 D^-1/2 with
+        # Hn = D^-1/2 H_ii D^-1/2 (unit diagonal, condition ~sqrt smaller)
+        # + RELATIVE damping, which absolute 1e-6 damping is not at 4e4.
+        dsc = jnp.sqrt(jnp.maximum(jnp.diag(H_ii), 1e-8))
+        Hn = H_ii / dsc[:, None] / dsc[None, :] \
+            + (cfg.damping + 1e-6) * jnp.eye(k, dtype=f32)
+        c, low = jax.scipy.linalg.cho_factor(Hn)
+        X = jax.scipy.linalg.cho_solve((c, low), H_is / dsc[:, None]) \
+            / dsc[:, None]                                   # H_ii^{-1} H_is
+        y = jax.scipy.linalg.cho_solve((c, low), b_i / dsc) / dsc
         S_d = H_ss - H_is.T @ X
         rhs_d = b_s - H_is.T @ y
 
@@ -323,9 +341,11 @@ def _build_round(mesh: Mesh, cfg: PgoConfig, m_int: int, n_sep: int,
         rhs = jax.lax.psum(rhs_d, axis)
         sep_free = jnp.repeat(ext_free[m_int:], 6)
         S = (S * sep_free[:, None] * sep_free[None, :]
-             + jnp.diag(1.0 - sep_free)
-             + cfg.damping * jnp.eye(n_sep * 6, dtype=f32))
-        dx_s = jnp.linalg.solve(S, rhs * sep_free)
+             + jnp.diag(1.0 - sep_free))
+        dsep = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-8))
+        Sn = S / dsep[:, None] / dsep[None, :] \
+            + (cfg.damping + 1e-6) * jnp.eye(n_sep * 6, dtype=f32)
+        dx_s = jnp.linalg.solve(Sn, (rhs * sep_free) / dsep) / dsep
         dx_s = dx_s * sep_free
 
         # back-substitute interiors

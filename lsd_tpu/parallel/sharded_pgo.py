@@ -89,9 +89,18 @@ def _build_gn_round(mesh: Mesh, cfg: PgoConfig, n: int):
     )
     def gn_round(nodes, se3_shard, gps, free):
         # robust weights at the linearization point
-        rw = _huber_weights(
-            _se3_residual(nodes, se3_shard, jnp.zeros((n, 6), jnp.float32)),
-            cfg.huber_delta)
+        r_se3 = _se3_residual(nodes, se3_shard,
+                              jnp.zeros((n, 6), jnp.float32))
+        rw = _huber_weights(r_se3, cfg.huber_delta)
+        if cfg.dcs_phi > 0:
+            # Dynamic Covariance Scaling on loop/cross edges — identical
+            # semantics to the single-host solver (posegraph.optimize)
+            is_loop = jnp.abs(se3_shard.idx[:, 0]
+                              - se3_shard.idx[:, 1]) > 1
+            chi2_se3 = jnp.sum(r_se3 ** 2, axis=-1)
+            s2 = jnp.minimum(1.0, 2.0 * cfg.dcs_phi
+                             / (cfg.dcs_phi + chi2_se3))
+            rw = rw * jnp.where(is_loop, jnp.sqrt(s2), 1.0)
         J, r = linearize_se3(nodes, se3_shard, rw)          # local shard
         gi = se3_shard.idx                                   # (Es, 2)
 

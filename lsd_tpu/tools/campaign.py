@@ -442,10 +442,17 @@ def main(argv=None):
         ts_to_gt = {int(t): T for t, T in zip(rec_a["ts_us"], rec_a["gt"])}
         ts_to_gt.update({int(t): T for t, T in zip(rec_b["ts_us"], rec_b["gt"])})
         est, gts = [], []
+        n_dropped = 0
         for s, T in zip(md["stamps"], md["poses"]):
             if int(s) in ts_to_gt:
-                est.append(np.asarray(T, float))
+                T = np.asarray(T, float)
+                if not np.isfinite(T).all():
+                    n_dropped += 1
+                    continue
+                est.append(T)
                 gts.append(ts_to_gt[int(s)])
+        if n_dropped:
+            results["merge"]["nonfinite_poses"] = n_dropped
         if len(est) > 10:
             results["merge"]["ate_merged_m"] = round(
                 _ate(np.stack(est), np.stack(gts), 2), 4)

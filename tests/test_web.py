@@ -366,3 +366,115 @@ class TestUiStaticConsistency:
                             .split("};")[0]))
         for key in re.findall(r'data-i18n="([^"]+)"', html):
             assert key in zh, f"data-i18n key {key} missing a zh entry"
+
+
+@pytest.mark.slow
+class TestEditorWorkflowHttp:
+    """The documented map-editor workflow (docs/slam.md:87-146) driven
+    end-to-end over the SAME HTTP surface the browser UI issues:
+    select -> drag (set-vertex-pose) -> manual loop (keyframe-align +
+    add-edge) -> optimize -> save.  No browser runtime exists in this
+    image, so this is the automation layer directly below the DOM (the
+    static DOM/JS tests in test_editor_html.py cover the page itself)."""
+
+    def test_full_editor_workflow(self, tmp_path):
+        import numpy as np
+        import urllib.request
+
+        def _post_slow(url, body=None, timeout=300):
+            data = json.dumps(body or {}).encode()
+            req = urllib.request.Request(
+                url, data=data, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, r.read()
+
+        clear_interfaces()
+        from lsd_tpu.tools.campaign import make_recording, make_sim
+        sim = make_sim(44, 0.5, radius=10.0, speed=5.0, points=4096)
+        rec = make_recording(sim, str(tmp_path / "rec"), capacity=4096,
+                             n_scans=60, gps=False)
+        p = Perception()
+        cfg = p.get_config()
+        cfg["pipeline"] = [["Source", "SLAM", "Sink"]]
+        cfg["input"]["mode"] = "offline"
+        cfg["input"]["data_path"] = rec["log_dir"]
+        cfg["slam"]["mode"] = "mapping"
+        # synchronous graph work: deterministic vertex count for asserts
+        cfg["slam"]["async_graph"] = False
+        p.config_manager.set_config(cfg)
+        p.setup()
+        p.start()
+        from lsd_tpu.runtime.interface import call_interface
+        call_interface("player.set_rate", 1000.0)
+        srv = PerceptionServer(p)
+        port = srv.start(host="127.0.0.1", port=0)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            eng = p.module_manager.modules["SLAM"].engine
+            deadline = time.time() + 120
+            while time.time() < deadline and len(eng.odometry) < 58:
+                time.sleep(0.5)
+            assert len(eng.store) >= 5
+
+            # 1. graph meta (editor's scene load)
+            st, body = _get(base + "/v1/graph-meta")
+            meta = json.loads(body)["result"]
+            n = len(meta["vertex"])
+            assert n >= 5
+
+            # 2. vertex cloud payload (editor's point rendering)
+            st, body = _post_slow(base + "/v1/vertex-data", {"id": 1})
+            assert st == 200 and len(body) > 1000
+
+            # 3. drag: move vertex 2 and commit the new pose
+            T = np.asarray(meta["vertex"]["2"]["pose"],
+                           float).reshape(4, 4)
+            T[0, 3] += 0.25
+            st, body = _post(base + "/v1/map-set-vertex-pose",
+                             {"id": 2, "pose": T.flatten().tolist()})
+            assert json.loads(body)["status"] == "ok"
+            st, body = _get(base + "/v1/map-vertex")
+            moved = np.asarray(
+                json.loads(body)["2"], float).reshape(4, 4)
+            np.testing.assert_allclose(moved, T, atol=1e-6)
+
+            # 4. manual loop: ICP auto-align 1 -> n-1 then add the edge
+            guess = (np.linalg.inv(
+                np.asarray(meta["vertex"]["1"]["pose"]).reshape(4, 4))
+                @ np.asarray(meta["vertex"][str(n - 1)]["pose"])
+                .reshape(4, 4))
+            st, body = _post_slow(base + "/api", {
+                "jsonrpc": "2.0", "id": 1, "method": "map_keyframe_align",
+                "params": [1, n - 1, guess.flatten().tolist()]})
+            aligned = np.asarray(json.loads(body)["result"],
+                                 float).reshape(4, 4)
+            st, body = _post(base + "/v1/add-edge", {
+                "prev": 1, "next": n - 1,
+                "relative": aligned.flatten().tolist()})
+            assert json.loads(body)["status"] == "ok"
+
+            # 5. optimize (the dragged vertex snaps back toward odometry)
+            with urllib.request.urlopen(base + "/v1/map-optimize",
+                                        timeout=300) as r:
+                st, body = r.status, r.read()
+            assert json.loads(body)["status"] == "ok"
+            st, body = _get(base + "/v1/map-vertex")
+            after = np.asarray(
+                json.loads(body)["2"], float).reshape(4, 4)
+            assert abs(after[0, 3] - T[0, 3]) > 0.1
+
+            # 6. save through the reference save_mapping flow
+            st, body = _post_slow(base + "/v1/save-map",
+                             {"root_path": str(tmp_path), "name": "edmap"})
+            assert json.loads(body)["status"] == "ok"
+            ed = p.module_manager.modules["SLAM"].editor
+            if getattr(ed, "_save_thread", None):
+                ed._save_thread.join(timeout=120)
+            from lsd_tpu.slam.map_io import load_map
+            md = load_map(str(tmp_path / "edmap"))
+            assert len(md["poses"]) == len(eng.store)
+            assert len(md["edges"]) >= len(eng.store) - 1
+        finally:
+            srv.stop()
+            p.release()
+            clear_interfaces()
