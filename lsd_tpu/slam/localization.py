@@ -36,6 +36,13 @@ class LocalizerConfig:
     update_map_every: float = 5.0    # recentre local map after this travel (m)
     reloc_sc_thresh: float = 0.35
     reloc_fitness_thresh: float = 0.4
+    # tracking-lost fallback (ref slam.cpp:440-455 fallback chain +
+    # localization.cpp re-initialization): after this many consecutive
+    # scans with a failed map match the filter is declared lost and the
+    # localizer drops back to global relocalization instead of
+    # dead-reckoning on IMU integration (which runs away quadratically
+    # and drags the local-map window off the map).
+    lost_after_misses: int = 10
     ukf: UkfConfig = UkfConfig()
 
 
@@ -224,6 +231,15 @@ class Localizer:
         self._last_scan = (points, mask, image)
         if not self.initialized:
             T = self._relocalize(points, mask, image=image)
+            if T is not None and gps_xyz is not None and \
+                    np.linalg.norm(T[:2, 3] - np.asarray(gps_xyz)[:2]) > 20.0:
+                # GNSS consistency gate on the reloc hypothesis: in
+                # self-similar worlds (figure-eight lobes, parking rows)
+                # a ScanContext+ICP match can land on an aliased twin; a
+                # current fix within tens of meters arbitrates for free
+                # (ref: setInitPoseRange seeds reloc from GPS,
+                # global_localization.cpp)
+                T = None
             if T is None:
                 return dict(pose=None, status="relocalizing")
             self.ukf = ukf_init(jnp.asarray(T, jnp.float32))
@@ -251,6 +267,15 @@ class Localizer:
         matched = float(info["matched_frac"])
         if matched > 0.15 and float(icp_info["fitness"]) > 0.2:
             self.ukf = ukf_correct(self.ukf, t, q, self.cfg.ukf)
+            self._misses = 0
+        else:
+            self._misses = getattr(self, "_misses", 0) + 1
+            if self._misses >= self.cfg.lost_after_misses:
+                # tracking lost: back to global relocalization (ref
+                # fallback chain) rather than dead-reckoning away
+                self.initialized = False
+                self._misses = 0
+                return dict(pose=None, status="lost")
         # GNSS fusion: position-only correction weighted by fix variance
         # (ref covariance-weighted LIO/GPS fusion, docs/slam.md:200-214)
         if gps_xyz is not None:
@@ -261,5 +286,12 @@ class Localizer:
         T = np.asarray(ukf_pose(self.ukf), float)
 
         if np.linalg.norm(T[:3, 3] - self.map_center) > self.cfg.update_map_every:
-            self._build_local_map(T[:3, 3])
+            # coverage guard: only recentre while keyframes exist around
+            # the new position — recentring onto a runaway pose builds an
+            # empty map and makes the loss permanent
+            if self.store.within_radius(T[:3, 3],
+                                        self.cfg.local_map_radius):
+                self._build_local_map(T[:3, 3])
+            else:
+                self._misses = getattr(self, "_misses", 0) + 1
         return dict(pose=T, status="tracking", matched_frac=matched)
