@@ -397,10 +397,24 @@ def optimize_schur(graph: PoseGraphData, mesh: Mesh,
     )
     nodes = graph.nodes
     gps_on = jnp.ones_like(graph.gps.mask)
+    # per-round wall split: the jitted GN round is lru_cached, so round 0
+    # carries the one-time XLA compile (the bulk of the r3 campaign's
+    # 30.5 s merge wall on the virtual CPU mesh); steady-state rounds are
+    # the true solve cost.  Reported so the artifact can say where the
+    # time goes (VERDICT r3 #7).
+    import time as _time
+    round_s = []
     for _ in range(cfg.outer_iters):
+        t0 = _time.perf_counter()
         nodes, gps_on = rnd(nodes, gps_on, free, *args_static,
                             graph.se3, graph.gps, graph.floor, graph.orient)
+        jax.block_until_ready(nodes.pos)
+        round_s.append(_time.perf_counter() - t0)
+    steady = round_s[1:] or round_s
     info = dict(gps_inliers=jnp.sum((graph.gps.mask & gps_on).astype(jnp.int32)),
-                n_sep=int(plan.sep_mask.sum()))
+                n_sep=int(plan.sep_mask.sum()),
+                compile_plus_first_round_s=round(round_s[0], 3),
+                solve_round_ms=round(1e3 * sum(steady) / len(steady), 2),
+                solve_total_s=round(sum(steady), 3))
     return graph._replace(
         nodes=nodes, gps=graph.gps._replace(mask=graph.gps.mask & gps_on)), info

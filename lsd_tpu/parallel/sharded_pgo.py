@@ -147,6 +147,11 @@ def _build_gn_round(mesh: Mesh, cfg: PgoConfig, n: int):
         blocks = blocks.at[gps.idx, 3, 3].add(gw2[:, 0])
         blocks = blocks.at[gps.idx, 4, 4].add(gw2[:, 1])
         blocks = blocks.at[gps.idx, 5, 5].add(gw2[:, 2])
+        # relative damping for the f32 block inverse (same conditioning
+        # guard as the single-host solver; VERDICT r3 #9 sweep)
+        scale = jnp.trace(blocks, axis1=-2, axis2=-1)[:, None, None] / 6.0
+        blocks = blocks + (1e-5 * scale + cfg.damping) \
+            * jnp.eye(6, dtype=jnp.float32)
         Binv = jnp.linalg.inv(blocks)
 
         def precond(rr):

@@ -175,13 +175,24 @@ class MapEditor:
         return None
 
     # --- vertex / edge / point CRUD --------------------------------------
+    # Editor mutations run on the web-server thread while (under
+    # cfg.slam.async_graph) the mapper's background worker may be adding
+    # loop edges or optimizing concurrently; every graph/store mutation
+    # below therefore holds mapper._graph_lock, and structural edits that
+    # renumber the store (del_vertex, merge_map) drain pending worker
+    # jobs first so no queued job indexes stale keyframe ids.
     def del_vertex(self, vid) -> None:
         """Remove keyframe `vid`: drop the node + incident factors, bridge
         its chain neighbours with the composed relative transform, remap
         every index above it (ref map_manager.del_vertex + backend
         del_graph_vertex)."""
         m = self.mapper
-        i = int(vid)
+        m.flush()
+        with m._graph_lock:
+            self._del_vertex_locked(int(vid))
+
+    def _del_vertex_locked(self, i: int) -> None:
+        m = self.mapper
         if not (0 <= i < len(m.store)):
             raise IndexError(f"vertex {i} out of range")
         g = m.graph
@@ -221,19 +232,23 @@ class MapEditor:
 
     def del_points(self, index: Dict) -> None:
         """index: {vertex_id_str: [point indices]} (ref map-del-points)."""
-        for idx, point_idx in index.items():
-            i = int(idx)
-            kf = self.mapper.store[i]
-            kf.cloud = np.delete(kf.cloud, np.asarray(point_idx, np.int64),
-                                 axis=0)
+        with self.mapper._graph_lock:
+            for idx, point_idx in index.items():
+                i = int(idx)
+                kf = self.mapper.store[i]
+                kf.cloud = np.delete(kf.cloud,
+                                     np.asarray(point_idx, np.int64), axis=0)
 
     def add_edge(self, prev_id, next_id, relative) -> int:
         T = np.asarray(relative, float).reshape(4, 4)
-        return self.mapper.graph.add_se3_edge(int(prev_id), int(next_id), T,
-                                              rot_info=200.0, trans_info=200.0)
+        with self.mapper._graph_lock:
+            return self.mapper.graph.add_se3_edge(
+                int(prev_id), int(next_id), T,
+                rot_info=200.0, trans_info=200.0)
 
     def del_edge(self, eid) -> None:
-        self.mapper.graph.del_se3_edge(int(eid))
+        with self.mapper._graph_lock:
+            self.mapper.graph.del_se3_edge(int(eid))
 
     def set_vertex_pose(self, vid, pose) -> None:
         """Move a vertex to an absolute pose (editor drag; the reference
@@ -241,11 +256,13 @@ class MapEditor:
         the graph estimate and the keyframe store so clouds/edges follow."""
         i = int(vid)
         T = np.asarray(pose, float).reshape(4, 4)
-        self.mapper.graph.set_node_pose(i, T)
-        self.mapper.store[i].pose = T.copy()
+        with self.mapper._graph_lock:
+            self.mapper.graph.set_node_pose(i, T)
+            self.mapper.store[i].pose = T.copy()
 
     def set_vertex_fix(self, vid, fix) -> None:
-        self.mapper.graph.set_fixed(int(vid), bool(fix))
+        with self.mapper._graph_lock:
+            self.mapper.graph.set_fixed(int(vid), bool(fix))
 
     def graph_optimize(self) -> None:
         self.mapper.optimize_graph()
@@ -295,23 +312,26 @@ class MapEditor:
                                pose=np.asarray(T, float),
                                odom=np.asarray(T, float),
                                cloud=np.asarray(c, np.float32)))
+        m.flush()
         cross = find_cross_edges(m.store, other)
-        base = len(m.store)
-        for kf in other.frames:
-            kid = m.store.add(Keyframe(id=-1, stamp_us=kf.stamp_us,
-                                       pose=kf.pose.copy(),
-                                       odom=kf.odom.copy(), cloud=kf.cloud))
-            m.graph.add_node(kf.pose, fixed=False)
-            if kid > base:
-                prev = m.store[kid - 1]
-                T_rel = np.linalg.inv(prev.odom) @ kf.odom
-                m.graph.add_se3_edge(kid - 1, kid, T_rel,
-                                     rot_info=400.0, trans_info=400.0)
-        for (i, j, T_rel, *rest) in cross:
-            info6 = rest[0] if rest else np.full(6, 200.0)
-            m.graph.add_se3_edge(int(i), base + int(j), T_rel,
-                                 rot_info=info6[:3], trans_info=info6[3:])
-            m.loops.append((int(i), base + int(j)))
+        with m._graph_lock:
+            base = len(m.store)
+            for kf in other.frames:
+                kid = m.store.add(Keyframe(id=-1, stamp_us=kf.stamp_us,
+                                           pose=kf.pose.copy(),
+                                           odom=kf.odom.copy(),
+                                           cloud=kf.cloud))
+                m.graph.add_node(kf.pose, fixed=False)
+                if kid > base:
+                    prev = m.store[kid - 1]
+                    T_rel = np.linalg.inv(prev.odom) @ kf.odom
+                    m.graph.add_se3_edge(kid - 1, kid, T_rel,
+                                         rot_info=400.0, trans_info=400.0)
+            for (i, j, T_rel, *rest) in cross:
+                info6 = rest[0] if rest else np.full(6, 200.0)
+                m.graph.add_se3_edge(int(i), base + int(j), T_rel,
+                                     rot_info=info6[:3], trans_info=info6[3:])
+                m.loops.append((int(i), base + int(j)))
         # merge areas from the other map's meta
         for aid, area in (data.get("meta") or {}).get("area", {}).items() \
                 if isinstance((data.get("meta") or {}).get("area"), dict) \

@@ -75,6 +75,18 @@ class MapperConfig:
     # Synchronous by default for deterministic unit tests; the pipeline
     # module enables it (cfg.slam.async_graph).
     async_graph: bool = False
+    # one-frame-deep pipelined device fetch: dispatch scan k's lio_step
+    # (JAX dispatch is asynchronous), then complete scan k-1 — its small
+    # outputs (pose, tracking arrays) arrive while the device is already
+    # computing scan k, hiding the host<->device round trip (≈20 ms over
+    # a tunneled chip, r3 campaign: 8.5 scans/s wall vs 110 scans/s
+    # device).  The published live pose is IMU-extrapolated to the
+    # current stamp (get_timed_pose), which is exactly the reference's
+    # high-rate forward-prediction output (fastlio.cpp prediction:18-100
+    # + the pipeline latency-hiding threads, manager_template.py:68-96).
+    # Off by default for deterministic unit tests; the pipeline module
+    # enables it.
+    async_fetch: bool = False
     loop_max_residual: float = 0.08       # mean |p2plane| acceptance (m)
     loop_min_inliers: int = 200           # absolute aligned-point floor
     # information from the ICP Hessian (ref: hdl_graph_slam
@@ -146,13 +158,35 @@ class Mapper:
                      stamp_us: int = 0, gps_xyz=None, gps_info=None,
                      vel_obs=None, vel_obs_valid=None,
                      images=None, orient_quat=None) -> Dict:
-        """Feed one (padded) scan; returns dict(pose, is_keyframe, info)."""
+        """Feed one (padded) scan; returns dict(pose, is_keyframe, info).
+
+        With cfg.async_fetch the returned dict describes the PREVIOUS
+        scan (its stamp/pose are recorded under its own timestamp), plus
+        ``live_pose`` — the IMU-extrapolated pose at THIS scan's stamp —
+        and the very first call returns pose=None."""
         cfg = self.cfg
         self.lio_state, info = lio_step(
             cfg.lio, self.lio_state, jnp.asarray(points), jnp.asarray(stamps),
             jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
             None if vel_obs is None else jnp.asarray(vel_obs),
             None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
+        job = dict(stamp_us=stamp_us, info=info, mask=mask, gps_xyz=gps_xyz,
+                   gps_info=gps_info, images=images, orient_quat=orient_quat)
+        if not cfg.async_fetch:
+            return self._complete_scan(job)
+        prev, self._pending = getattr(self, "_pending", None), job
+        if prev is None:
+            return dict(pose=None, odom=None, is_keyframe=False, loop=None,
+                        info={})
+        out = self._complete_scan(prev)
+        live = self.get_timed_pose(stamp_us)
+        out["live_pose"] = live if live is not None else out["pose"]
+        return out
+
+    def _complete_scan(self, job: Dict) -> Dict:
+        """Fetch a dispatched scan's results and run keyframe/graph work
+        (the host-side half of the pipelined step)."""
+        info, stamp_us, mask = job["info"], job["stamp_us"], job["mask"]
         odom_pose = np.asarray(info["pose"], float)
         # lazy high-rate pose source (device arrays; fetched on demand)
         self._track = dict(stamp_us=stamp_us, t=info["imu_t"],
@@ -167,15 +201,25 @@ class Mapper:
             # by v * sweep_time and biases loop ICP + saved maps
             pts_kf = np.asarray(info["points_und"])
             loop = self._add_keyframe(pts_kf, mask, odom_pose, stamp_us,
-                                      gps_xyz, gps_info=gps_info,
-                                      images=images,
-                                      orient_quat=orient_quat)
+                                      job["gps_xyz"],
+                                      gps_info=job["gps_info"],
+                                      images=job["images"],
+                                      orient_quat=job["orient_quat"])
         # publish in the map frame: graph corrections (loop closures, GPS)
         # snap the live pose, not just the stored keyframes
         pose = self.odom2map @ odom_pose
         self.odometry.append((stamp_us, pose))
         return dict(pose=pose, odom=odom_pose, is_keyframe=is_kf, loop=loop,
                     info=info)
+
+    def finish_pending(self) -> Optional[Dict]:
+        """Complete the in-flight pipelined scan, if any (called at end
+        of stream / before save so the trajectory covers every scan)."""
+        job = getattr(self, "_pending", None)
+        if job is None:
+            return None
+        self._pending = None
+        return self._complete_scan(job)
 
     # ------------------------------------------------------------------
     def _add_keyframe(self, points, mask, odom_pose, stamp_us, gps_xyz,
@@ -220,9 +264,28 @@ class Mapper:
                 self._add_floor_prior(kid, cloud)
 
         if self._worker_q is not None:
-            # graph work off the odometry path (ref runGraph thread);
-            # bounded queue = backpressure if the worker falls behind
-            self._worker_q.put((kid, pts4, np.asarray(mask)))
+            # graph work off the odometry path (ref runGraph thread).  A
+            # wedged worker (e.g. a device-transport hang during loop ICP)
+            # must NOT stall odometry indefinitely: when the bounded queue
+            # stays full past a short timeout, drop the OLDEST pending job
+            # (its keyframe keeps node + odometry edge; only its
+            # descriptor/loop chance is lost) and coalesce in the new one.
+            job = (kid, pts4, np.asarray(mask))
+            try:
+                self._worker_q.put(job, timeout=2.0)
+            except _queue.Full:
+                try:
+                    self._worker_q.get_nowait()
+                    self._worker_q.task_done()
+                    self.loop_stats["dropped_jobs"] = \
+                        self.loop_stats.get("dropped_jobs", 0) + 1
+                except _queue.Empty:
+                    pass
+                try:
+                    self._worker_q.put_nowait(job)
+                except _queue.Full:      # worker still wedged: shed
+                    self.loop_stats["dropped_jobs"] = \
+                        self.loop_stats.get("dropped_jobs", 0) + 1
             return None
         return self._kf_graph_work(kid, pts4, mask)
 
@@ -256,9 +319,21 @@ class Mapper:
                 self._worker_q.task_done()
 
     def flush(self) -> None:
-        """Drain pending background graph work (no-op when synchronous)."""
+        """Drain the in-flight pipelined scan and pending background
+        graph work (no-op when synchronous)."""
+        self.finish_pending()
         if self._worker_q is not None:
             self._worker_q.join()
+
+    def close(self) -> None:
+        """Stop the background graph worker (idempotent).  Without this,
+        every async Mapper leaks its daemon worker for the life of the
+        process across module restarts."""
+        if self._worker_q is not None:
+            self._worker_q.join()
+            self._worker_q.put(None)
+            self._worker.join(timeout=10.0)
+            self._worker_q = None
 
     # ------------------------------------------------------------------
     def _add_floor_prior(self, kid: int, cloud: np.ndarray) -> None:

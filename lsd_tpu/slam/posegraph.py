@@ -83,12 +83,20 @@ class PgoConfig(NamedTuple):
     huber_delta: float = 1.0      # on whitened residual norm
     gps_chi2_gate: float = 25.0   # disable GNSS priors above this chi2
     damping: float = 1e-6
-    # Dynamic Covariance Scaling (Agarwal et al., ICRA 2013) on LOOP /
+    # Dynamic-Covariance-Scaling-STYLE robustification (after Agarwal et
+    # al., ICRA 2013 — intentionally MILDER than canonical DCS) on LOOP /
     # cross-session edges (any SE3 edge with |i-j| > 1; consecutive
-    # odometry edges are never scaled): information is scaled by
-    # s^2 = min(1, 2*phi/(phi + chi2)), re-evaluated each outer round, so
-    # a grossly-wrong loop (chi2 >> phi) contributes ~phi/chi2 -> 0 while
-    # a true loop recovers as the graph converges toward it.  This is the
+    # odometry edges are never scaled).  With s = min(1, 2*phi/(phi +
+    # chi2)), canonical DCS scales the residual by s (information by
+    # s^2); here the residual is scaled by sqrt(s) (information by s) —
+    # the gentler power because it STACKS with the Huber weight already
+    # applied to every edge, and canonical DCS on top of Huber
+    # double-penalized true loops during early rounds in campaign tuning.
+    # A grossly-wrong loop's influence still decays like phi/chi2 -> 0.
+    # Re-evaluated each outer round, so a true loop recovers as the
+    # graph converges toward it.  All three solvers (single-host,
+    # factor-sharded, Schur) implement this same sqrt-DCS+Huber variant.
+    # This is the
     # reference's robust_graph_optimize role (backend_api.h:63 — its
     # max-clique gate serves the same "aliased match must not bend the
     # graph" purpose).  Campaign r3 measured loop edges with p95 trans
@@ -319,6 +327,14 @@ def optimize(graph: PoseGraphData, cfg: PgoConfig = PgoConfig()
             jnp.einsum("eij,eik->ejk", J_fl, J_fl))
         blocks = blocks.at[oi].add(
             jnp.einsum("eij,eik->ejk", J_or, J_or))
+        # conditioning guard for the f32 block inverse: absolute damping
+        # (1e-6) is invisible next to odometry information ~4e4, so a
+        # block with one near-unconstrained axis (corridor-sliding loop
+        # edge) is ~1e10-conditioned and its f32 inverse is garbage;
+        # damp RELATIVE to each block's own scale (VERDICT r3 #9 sweep)
+        scale = jnp.trace(blocks, axis1=-2, axis2=-1)[:, None, None] / 6.0
+        blocks = blocks + (1e-5 * scale + cfg.damping) \
+            * jnp.eye(6, dtype=jnp.float32)
         Binv = jnp.linalg.inv(blocks)
 
         def precond(r):

@@ -114,26 +114,17 @@ def _ate(est: np.ndarray, gt: np.ndarray, warmup: int) -> float:
     the post-warmup positions.  Single-pose alignment (round-2 harness)
     injects the anchor pose's own error + heading-lever error into every
     other pose — at 100 m extents a 2 mrad heading error reads as 0.2 m
-    of fake ATE."""
-    n = min(len(est), len(gt))
-    P = est[warmup:n, :3, 3]
-    Q = gt[warmup:n, :3, 3]
-    mp, mq = P.mean(0), Q.mean(0)
-    H = (P - mp).T @ (Q - mq)
-    U, _S, Vt = np.linalg.svd(H)
-    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
-    R = Vt.T @ D @ U.T
-    t = mq - R @ mp
-    err = np.linalg.norm((P @ R.T + t) - Q, axis=1)
-    return float(np.sqrt(np.mean(err ** 2)))
+    of fake ATE.  NaN-safe (utils/metrics.py drops non-finite pairs and
+    guards the SVD — the r3 CPU-campaign merge crash)."""
+    from ..utils.metrics import ate_rmse
+    return ate_rmse(est, gt, warmup)
 
 
 def _abs_err(est: np.ndarray, gt: np.ndarray, warmup: int) -> float:
     """RMSE WITHOUT alignment — meaningful when GNSS anchors the map in
     the world frame (absolute accuracy, docs/slam.md:217-233 style)."""
-    n = min(len(est), len(gt))
-    err = np.linalg.norm(est[warmup:n, :3, 3] - gt[warmup:n, :3, 3], axis=1)
-    return float(np.sqrt(np.mean(err ** 2)))
+    from ..utils.metrics import ate_rmse
+    return ate_rmse(est, gt, warmup, align="none")
 
 
 def run_session(rec: Dict, map_dir: str, sim, name: str,
@@ -290,6 +281,18 @@ def merge_distributed(map_a: str, map_b: str, out_dir: str,
     t0 = time.perf_counter()
     g2, info = optimize_schur(g, mesh, PgoConfig(outer_iters=8, cg_iters=80))
     dt = time.perf_counter() - t0
+    # robustness net: if the distributed f32 solve diverged (non-finite
+    # poses — the r3 CPU-campaign failure mode), redo the optimization
+    # with the single-host solver rather than shipping a broken artifact
+    fallback = False
+    import numpy as _np
+    if not (_np.isfinite(_np.asarray(g2.nodes.pos)).all()
+            and _np.isfinite(_np.asarray(g2.nodes.quat)).all()):
+        print("campaign: Schur produced non-finite poses; "
+              "falling back to single-host optimize", flush=True)
+        from ..slam.posegraph import optimize as _opt_single
+        g2, _ = _opt_single(g, PgoConfig(outer_iters=8, cg_iters=80))
+        fallback = True
     b.update_from(g2)
     if out_dir:
         from ..geometry import np_so3
@@ -310,6 +313,11 @@ def merge_distributed(map_a: str, map_b: str, out_dir: str,
                 cross_edges=len(res["cross_edges"]),
                 schur_devices=int(mesh.devices.size),
                 schur_wall_s=round(dt, 2),
+                schur_compile_plus_first_round_s=info.get(
+                    "compile_plus_first_round_s"),
+                schur_solve_round_ms=info.get("solve_round_ms"),
+                schur_solve_total_s=info.get("solve_total_s"),
+                single_host_fallback=fallback,
                 builder=b, info=info)
 
 

@@ -35,8 +35,15 @@ def rebuild(md, use_loops=True, keep_info=True):
     # integrate the odometry chain for initial node poses
     chain = [np.asarray(md["poses"][0], float)]
     for k in range(n - 1):
-        i, j, T, var = consec[k]
-        Trel = T if i == k else np.linalg.inv(T)
+        if k in consec:
+            i, j, T, var = consec[k]
+            Trel = T if i == k else np.linalg.inv(T)
+        else:
+            # no consecutive edge (editor del-edge, or a merged-map
+            # session boundary): fall back to the saved absolute poses'
+            # relative transform so the diagnostic still rebuilds
+            Trel = np.linalg.inv(np.asarray(md["poses"][k], float)) \
+                @ np.asarray(md["poses"][k + 1], float)
         chain.append(chain[-1] @ Trel)
     b = PoseGraphBuilder()
     for k in range(n):

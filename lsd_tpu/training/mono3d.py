@@ -57,15 +57,18 @@ def _fill_quad(img, shade, pts):
         return
     uu, vv = np.meshgrid(np.arange(u0, u1) + 0.5, np.arange(v0, v1) + 0.5)
     inside = np.ones(uu.shape, bool)
-    # convex polygon: consistent sign of cross products edge x (p - a)
-    sign = 0.0
+    # convex polygon: consistent sign of cross products edge x (p - a).
+    # The winding sign comes from the VERTICES (cross of consecutive
+    # edges), not from a sampled pixel — for partially off-screen quads
+    # the max-|cr| pixel of one edge can lie outside the quad and flip
+    # the sign, silently rasterizing an empty mask.
+    e01 = pts[1] - pts[0]
+    e12 = pts[2] - pts[1]
+    s = np.sign(e01[0] * e12[1] - e01[1] * e12[0])
+    sign = s if s != 0 else 1.0
     for k in range(4):
         a, b = pts[k], pts[(k + 1) % 4]
         cr = (b[0] - a[0]) * (vv - a[1]) - (b[1] - a[1]) * (uu - a[0])
-        if sign == 0.0:
-            s = np.sign(cr[np.abs(cr).argmax() // cr.shape[1],
-                            np.abs(cr).argmax() % cr.shape[1]])
-            sign = s if s != 0 else 1.0
         inside &= (cr * sign) >= -1e-9
     img[v0:v1, u0:u1][inside] = shade
 
