@@ -152,6 +152,8 @@ class SlamModule(Module):
     def setup(self, cfg) -> None:
         from ..slam import (Localizer, LocalizerConfig, LioConfig, Mapper,
                             MapperConfig)
+        if hasattr(self.engine, "close"):   # restart: stop the old
+            self.engine.close()             # engine's graph worker
         register_interface("slam.restart_mapping", self._restart_mapping)
         if cfg.slam.mode == "mapping":
             kfi = cfg.slam.key_frames_interval
@@ -169,6 +171,11 @@ class SlamModule(Module):
                 from ..slam import RtkMapper
                 self.engine = RtkMapper(mcfg)
             else:
+                # pipelined device fetch hides the host<->device round
+                # trip behind the next scan's compute (ref latency-hiding
+                # threads, manager_template.py:68-96)
+                mcfg.async_fetch = bool(
+                    getattr(cfg.slam, "async_fetch", True))
                 self.engine = Mapper(mcfg)
             register_interface("slam.save_map", self.engine.save)
             # map-editor surface mirroring the reference's full interface
@@ -241,6 +248,10 @@ class SlamModule(Module):
         else:
             self.engine.set_init_pose_range(arr.reshape(-1))
 
+    def release(self) -> None:
+        if hasattr(self.engine, "close"):
+            self.engine.close()
+
     def _restart_mapping(self, payload=None) -> str:
         """Re-initialize the SLAM engine, optionally from a new config
         (ref slam_server.restart_mapping -> slam.restart_mapping)."""
@@ -263,6 +274,10 @@ class SlamModule(Module):
         # last frame at end of data) must not be re-integrated
         ts = frame.scan.timestamp
         if getattr(self, "_last_ts", None) is not None and ts <= self._last_ts:
+            # end-of-stream (player re-emits the last frame): drain the
+            # pipelined in-flight scan so the trajectory is complete
+            if hasattr(self.engine, "finish_pending"):
+                self.engine.finish_pending()
             d["slam_pose"] = self.last_pose
             return d
         self._last_ts = ts
@@ -410,7 +425,9 @@ class SlamModule(Module):
                                            imu_gyro=gyro, imu_acc=acc,
                                            gps_xyz=gps)
         if out.get("pose") is not None:
-            self.last_pose = np.asarray(out["pose"])
+            # live_pose = IMU-extrapolated to THIS frame's stamp when the
+            # mapper runs pipelined (its "pose" is the previous scan's)
+            self.last_pose = np.asarray(out.get("live_pose", out["pose"]))
             # observability: publish fused odometry on the bus
             # (ref: slam.cpp ZCM slam.odometry publish)
             try:
@@ -427,16 +444,26 @@ class SlamModule(Module):
 
 def shipped_detector_weights(det_cfg) -> Optional[str]:
     """Path of the in-repo trained checkpoint matching ``det_cfg``'s
-    capacity, or None.  Only the reference-capacity class (±64 m, 0.2 m
-    pillars, 640² grid — the class the reference deploys,
-    cfgs/detection_object.yaml) ships trained weights."""
+    capacity, or None.  The reference-capacity class (±64 m, 0.2 m
+    pillars, 640² grid) and the true-deployed-pitch class (0.1 m
+    pillars, 1280² fine grid — cfgs/detection_object.yaml) ship trained
+    weights."""
     import os
     from ..models import DetectorConfig
-    if tuple(det_cfg.pc_range) == tuple(DetectorConfig.reference_capacity().pc_range) \
-            and tuple(det_cfg.voxel_size) == tuple(DetectorConfig.reference_capacity().voxel_size):
-        p = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))),
-            "weights", "detector_refcap.msgpack")
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "weights")
+
+    def _matches(ref):
+        return (tuple(det_cfg.pc_range) == tuple(ref.pc_range)
+                and tuple(det_cfg.voxel_size) == tuple(ref.voxel_size)
+                and getattr(det_cfg, "s2d_factor", 1) == ref.s2d_factor)
+
+    if _matches(DetectorConfig.true_reference_capacity()):
+        p = os.path.join(root, "detector_true_refcap.msgpack")
+        if os.path.exists(p):
+            return p
+    if _matches(DetectorConfig.reference_capacity()):
+        p = os.path.join(root, "detector_refcap.msgpack")
         if os.path.exists(p):
             return p
     return None
@@ -544,6 +571,60 @@ class DetectModule(Module):
                 raise
             except Exception as e:  # model load failure degrades gracefully
                 self.logger.error("detector unavailable: %s", e)
+        # camera mono3D beside the lidar engine (ref docs/detect.md:70:
+        # RTM3D on DLA + late fusion docs/detect.md:72-80)
+        self.mono3d = None
+        self._mono3d_cams = {}
+
+        def _get(obj, key, default=None):
+            if obj is None:
+                return default
+            if isinstance(obj, dict):
+                return obj.get(key, default)
+            return getattr(obj, key, default)
+
+        m3 = _get(cfg.detection, "mono3d")
+        if m3 is not None and bool(_get(m3, "enable", False)):
+            from ..detection.mono3d_infer import Mono3DInfer
+            self._mono3d_cams = SlamModule._camera_params(cfg)
+            try:
+                self.mono3d = Mono3DInfer(
+                    weights=_get(m3, "weights") or None,
+                    score_thresh=float(_get(m3, "score_threshold", 0.3)))
+                self._mono3d_cam_name = _get(m3, "camera")
+            except ValueError:
+                raise      # enabled without weights is fatal, like lidar
+            except Exception as e:
+                self.logger.error("mono3d unavailable: %s", e)
+
+    def _run_mono3d_fusion(self, d: Dict, frame, lidar_objs):
+        """Mono3D on the frame's camera image + late fusion with the
+        lidar list; returns the fused object list (lidar-frame boxes)."""
+        from ..detection.camera_fusion import fuse_camera_lidar
+        name = getattr(self, "_mono3d_cam_name", None)
+        images = frame.images or {}
+        if name is None and images:
+            name = next((n for n in images if n in self._mono3d_cams), None)
+        cam = self._mono3d_cams.get(str(name)) if name is not None else None
+        img = images.get(str(name)) if name is not None else None
+        if cam is None or not isinstance(img, (bytes, bytearray, np.ndarray)):
+            return lidar_objs
+        V2C = np.asarray(cam["T_cam_from_lidar"], float)
+        det = self.mono3d.detect(img, cam["K"], C2V=np.linalg.inv(V2C))
+        if det["K_scaled"] is None:
+            return lidar_objs
+        fused = fuse_camera_lidar(lidar_objs, det["camera_objs"], V2C,
+                                  det["K_scaled"],
+                                  image_hw=self.mono3d.cfg.image_hw,
+                                  heat=det["heat"])
+        out = []
+        for o in fused:
+            if o.get("fused") == "unmatch_camera":
+                if o.get("box_lidar") is None:
+                    continue           # no extrinsic -> can't track it
+                o = dict(o, box=np.asarray(o["box_lidar"], np.float32))
+            out.append(o)
+        return out
 
     def set_model(self, predict_fn) -> None:
         """predict_fn(points (N,4), mask) -> (boxes, scores, labels, mask)."""
@@ -552,6 +633,21 @@ class DetectModule(Module):
     def process(self, d: Dict) -> Optional[Dict]:
         frame = frame_from_dict(d)
         if frame.scan is None or self.predict_fn is None:
+            # camera-only mono3D: the mono model still yields tracked
+            # objects when no lidar engine is configured (ref: mono3D
+            # runs as its own engine beside the lidar one, infer.py)
+            if getattr(self, "mono3d", None) is not None:
+                fused = self._run_mono3d_fusion(d, frame, [])
+                if fused:
+                    out = self.tracker.update(
+                        np.stack([o["box"] for o in fused]),
+                        np.asarray([o["score"] for o in fused], np.float32),
+                        np.asarray([o["label"] for o in fused], np.int32),
+                        dt=frame.timestep / 1e6,
+                        motion=frame.motion if frame.motion_valid else None)
+                    out = self.obj_filter.filter(out)
+                    d["objects"] = out["objects"]
+                    return d
             d.setdefault("objects", [])
             return d
         pts, msk = frame.scan.points, frame.scan.mask
@@ -570,9 +666,25 @@ class DetectModule(Module):
                 np.asarray(out_t[4]), self.det_cfg_ref.pc_range,
                 self.det_cfg_ref.voxel_size[0])
         keep = np.asarray(bmask)
-        out = self.tracker.update(np.asarray(boxes)[keep],
-                                  np.asarray(scores)[keep],
-                                  np.asarray(labels)[keep],
+        det_boxes = np.asarray(boxes)[keep]
+        det_scores = np.asarray(scores)[keep]
+        det_labels = np.asarray(labels)[keep]
+        if getattr(self, "mono3d", None) is not None:
+            lidar_objs = [dict(box=det_boxes[i], score=float(det_scores[i]),
+                               label=int(det_labels[i]), source="lidar")
+                          for i in range(len(det_boxes))]
+            fused = self._run_mono3d_fusion(d, frame, lidar_objs)
+            if fused:
+                det_boxes = np.stack([o["box"] for o in fused])
+                det_scores = np.asarray([o["score"] for o in fused],
+                                        np.float32)
+                det_labels = np.asarray([o["label"] for o in fused],
+                                        np.int32)
+            else:
+                det_boxes = np.zeros((0, 7), np.float32)
+                det_scores = np.zeros((0,), np.float32)
+                det_labels = np.zeros((0,), np.int32)
+        out = self.tracker.update(det_boxes, det_scores, det_labels,
                                   dt=frame.timestep / 1e6,
                                   motion=frame.motion if frame.motion_valid else None)
         out = self.obj_filter.filter(out)

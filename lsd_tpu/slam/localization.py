@@ -11,6 +11,7 @@ a local NDT target map from the keyframes around the vehicle
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -20,12 +21,62 @@ import jax.numpy as jnp
 from ..geometry import so3
 from ..geometry import np_so3
 from ..ops.surfel import surfel_create, surfel_insert
+from ..utils.precision import mxu_f32
 from .keyframe import Keyframe, KeyframeStore
 from .map_io import load_map
 from .registration import icp_point_to_plane, ndt_align, ndt_build
 from .scancontext import (make_descriptor, sc_db_add_batch,
                           sc_db_create, sc_query)
-from .ukf import UkfConfig, UkfState, ukf_correct, ukf_init, ukf_pose, ukf_predict
+from .ukf import (UkfConfig, UkfState, ukf_correct, ukf_correct_position,
+                  ukf_init, ukf_pose, ukf_predict)
+
+
+@functools.partial(jax.jit, static_argnames=("ukf_cfg", "has_imu",
+                                             "ndt_iters", "ndt_searches",
+                                             "icp_iters", "icp_searches"))
+@mxu_f32
+def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
+                        points: jax.Array, mask: jax.Array, dt: jax.Array,
+                        imu_gyro: jax.Array, imu_acc: jax.Array,
+                        gps_xyz: jax.Array, gps_valid: jax.Array,
+                        gps_var: jax.Array,
+                        ukf_cfg: UkfConfig = UkfConfig(),
+                        has_imu: bool = False,
+                        ndt_iters: int = 15, ndt_searches: int = 5,
+                        icp_iters: int = 6, icp_searches: int = 2):
+    """ONE fused localization tracking step: UKF predict -> NDT match ->
+    ICP refine -> gated UKF pose correct -> optional GNSS position
+    correct, as a single XLA program with a single small output fetch.
+
+    The r3 step issued 4-5 separate dispatches with 4 host syncs
+    (36.7 ms at ~0 % of both peaks — pure latency, BENCH_r03 roofline);
+    the reference's equivalent loop is one in-process call chain
+    (hdl_localization pose_estimator.cpp:64 predict/correct).  Gating
+    (matched_frac / fitness thresholds) runs on-device via state
+    selection so the miss bookkeeping on the host needs only the fetched
+    scalars."""
+    st_pred = ukf_predict(ukf_st, dt, ukf_cfg,
+                          imu_gyro if has_imu else None,
+                          imu_acc if has_imu else None)
+    T_pred = ukf_pose(st_pred)
+    q0 = so3.matrix_to_quat(T_pred[:3, :3])
+    t0 = T_pred[:3, 3]
+    q, t, ndt_info = ndt_align(ndt_map, points, mask, q0, t0,
+                               iters=ndt_iters, searches=ndt_searches)
+    q, t, icp_info = icp_point_to_plane(icp_map, points, mask, q, t,
+                                        iters=icp_iters,
+                                        searches=icp_searches)
+    matched = ndt_info["matched_frac"]
+    fitness = icp_info["fitness"]
+    ok = (matched > 0.15) & (fitness > 0.2)
+    st_corr = ukf_correct(st_pred, t, q, ukf_cfg)
+    st_new = UkfState(x=jnp.where(ok, st_corr.x, st_pred.x),
+                      P=jnp.where(ok, st_corr.P, st_pred.P))
+    st_gps = ukf_correct_position(st_new, gps_xyz, gps_var)
+    st_new = UkfState(x=jnp.where(gps_valid, st_gps.x, st_new.x),
+                      P=jnp.where(gps_valid, st_gps.P, st_new.P))
+    pose = ukf_pose(st_new)
+    return st_new, pose, matched, fitness, ok
 
 
 @dataclasses.dataclass
@@ -250,23 +301,27 @@ class Localizer:
 
         dt = max((stamp_us - self.last_stamp_us) / 1e6, 1e-3) if self.last_stamp_us else 0.1
         self.last_stamp_us = stamp_us
-        self.ukf = ukf_predict(self.ukf, jnp.asarray(dt, jnp.float32), self.cfg.ukf,
-                               None if imu_gyro is None else jnp.asarray(imu_gyro, jnp.float32),
-                               None if imu_acc is None else jnp.asarray(imu_acc, jnp.float32))
-        T_pred = np.asarray(ukf_pose(self.ukf), float)
-
-        q0 = so3.matrix_to_quat(jnp.asarray(T_pred[:3, :3], jnp.float32))
-        t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
-        q, t, info = ndt_align(self.ndt_map, jnp.asarray(points[:, :3]),
-                               jnp.asarray(mask), q0, t0, iters=15)
-        # precise refinement: point-to-plane ICP pulls the NDT estimate the
-        # last decimeters (NDT has a wide basin but a soft optimum)
-        q, t, icp_info = icp_point_to_plane(self.icp_map, jnp.asarray(points[:, :3]),
-                                            jnp.asarray(mask), q, t, iters=6,
-                                            searches=2)
-        matched = float(info["matched_frac"])
-        if matched > 0.15 and float(icp_info["fitness"]) > 0.2:
-            self.ukf = ukf_correct(self.ukf, t, q, self.cfg.ukf)
+        # one fused device step (predict + NDT + ICP + gated corrections)
+        # with a single small fetch — the r3 step paid 4 host syncs
+        has_imu = imu_gyro is not None
+        z3 = np.zeros(3, np.float32)
+        self.ukf, T_dev, matched_dev, fitness_dev, ok_dev = \
+            localize_track_step(
+                self.ukf, self.ndt_map, self.icp_map,
+                jnp.asarray(points[:, :3]), jnp.asarray(mask),
+                jnp.asarray(dt, jnp.float32),
+                jnp.asarray(imu_gyro if has_imu else z3, jnp.float32),
+                jnp.asarray(imu_acc if imu_acc is not None else z3,
+                            jnp.float32),
+                jnp.asarray(gps_xyz if gps_xyz is not None else z3,
+                            jnp.float32),
+                jnp.asarray(gps_xyz is not None),
+                jnp.asarray(gps_var, jnp.float32),
+                ukf_cfg=self.cfg.ukf, has_imu=has_imu)
+        T, matched, track_ok = jax.device_get((T_dev, matched_dev, ok_dev))
+        T = np.asarray(T, float)
+        matched = float(matched)
+        if bool(track_ok):
             self._misses = 0
         else:
             self._misses = getattr(self, "_misses", 0) + 1
@@ -276,14 +331,6 @@ class Localizer:
                 self.initialized = False
                 self._misses = 0
                 return dict(pose=None, status="lost")
-        # GNSS fusion: position-only correction weighted by fix variance
-        # (ref covariance-weighted LIO/GPS fusion, docs/slam.md:200-214)
-        if gps_xyz is not None:
-            from .ukf import ukf_correct_position
-            self.ukf = ukf_correct_position(
-                self.ukf, jnp.asarray(gps_xyz, jnp.float32),
-                jnp.asarray(gps_var, jnp.float32))
-        T = np.asarray(ukf_pose(self.ukf), float)
 
         if np.linalg.norm(T[:3, 3] - self.map_center) > self.cfg.update_map_every:
             # coverage guard: only recentre while keyframes exist around

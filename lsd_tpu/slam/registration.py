@@ -216,11 +216,13 @@ def ndt_build(points: jax.Array, mask: jax.Array, voxel_size: float,
                   voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "searches"))
 @mxu_f32
 def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
               q0: jax.Array, t0: jax.Array, iters: int = 30,
-              outlier_ratio: float = 0.55) -> Tuple[jax.Array, jax.Array, dict]:
+              outlier_ratio: float = 0.55,
+              searches: Optional[int] = None
+              ) -> Tuple[jax.Array, jax.Array, dict]:
     """P2D-NDT: iterated Gauss-Newton ascent on the Gaussian-mixture score
     (Magnusson's d1/d2 form, as in ndt_omp).
 
@@ -228,7 +230,18 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
     first-order surrogate H = sum w_i g_i g_i^T is used (the exact Hessian
     steps erratically through assignment changes).  Converges steadily from
     up-to-half-voxel offsets; use the LIO/UKF prediction as q0/t0.
+
+    Like icp_point_to_plane, the expensive ASSOCIATION (hash probe +
+    mean/cov gathers over every point) runs ``searches`` times (default:
+    every iteration — exact classic NDT); between searches,
+    ``iters // searches`` GN iterations re-linearize against the frozen
+    voxel assignment.  Tracking callers (cm-scale prior motion per
+    iteration, voxels 1 m) pass searches=3-5: the assignment is stable
+    at that scale, and the probe/gather is the dominant cost of the step
+    (BENCH r4 phase table: 25 ms of a 38 ms localization step).
     """
+    searches = iters if searches is None else max(1, min(searches, iters))
+    inner = max(1, iters // searches)
     # Magnusson mixture constants (ndt_omp computeDerivatives)
     res = m.voxel_size
     c1 = 10.0 * (1.0 - outlier_ratio)
@@ -239,21 +252,18 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
 
     cap = m.capacity
 
-    def score_fn(xi, q, t):
-        qq = so3.quat_mul(q, so3.quat_from_rotvec(xi[:3]))
-        tt = t + xi[3:]
-        pw = _apply(qq, tt, source)
+    def associate(q, t):
+        """Probe + gather per-point voxel Gaussians (the expensive half)."""
+        pw = _apply(q, t, source)
         coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
+        # low load factor: 3 probes cover essentially every voxel
         slot = _probe_find(m.keys, coords, cap, num_probes=3)
         ok = mask & (slot >= 0)
         sl = jnp.maximum(slot, 0)
-        dxv = pw - m.mean[sl]
-        md = jnp.einsum("ni,nij,nj->n", dxv, m.cov_inv[sl], dxv)
-        sc = -d1 * jnp.exp(-0.5 * d2 * md)
-        return jnp.sum(jnp.where(ok, sc, 0.0)), (ok, md)
+        return m.mean[sl], m.cov_inv[sl], ok
 
     def gn_step(carry, _):
-        q, t = carry
+        q, t, mean_g, ci, ok = carry
         xi0 = jnp.zeros(6, source.dtype)
 
         def pw_fn(xi):
@@ -262,31 +272,35 @@ def ndt_align(m: NdtMap, source: jax.Array, mask: jax.Array,
 
         J = jax.jacfwd(pw_fn)(xi0)                          # (N, 3, 6)
         pw = pw_fn(xi0)
-        coords = jnp.floor(pw / m.voxel_size).astype(jnp.int32)
-        # low load factor: 3 probes cover essentially every voxel;
-        # probing is the dominant cost of the step
-        slot = _probe_find(m.keys, coords, cap, num_probes=3)
-        ok = mask & (slot >= 0)
-        sl = jnp.maximum(slot, 0)
-        dxv = pw - m.mean[sl]
-        ci = m.cov_inv[sl]
+        dxv = pw - mean_g
         md = jnp.einsum("ni,nij,nj->n", dxv, ci, dxv)
         e = jnp.exp(-0.5 * d2 * md)
         w = jnp.where(ok, jnp.abs(d1) * d2 * e, 0.0)
         gi = jnp.einsum("ni,nij,njk->nk", dxv, ci, J)       # (N, 6) per-point grads
         H = jnp.einsum("n,nk,nl->kl", w, gi, gi) + 1e-3 * jnp.eye(6, dtype=source.dtype)
         # analytic score gradient from the SAME gathered values (the
-        # autodiff of score_fn re-probed and re-gathered everything):
+        # autodiff of a score fn would re-probe and re-gather everything):
         # ds_i/dxi = d1 * d2 * e_i * gi_i
         g = jnp.sum(jnp.where(ok, d1 * d2 * e, 0.0)[:, None] * gi, axis=0)
         # the score is a sum of positive Gaussian bumps (-d1 > 0): ASCEND it
         dx = jnp.clip(jnp.linalg.solve(H, g), -0.5, 0.5)
         q_new = so3.quat_normalize(so3.quat_mul(q, so3.quat_from_rotvec(dx[:3])))
         t_new = t + dx[3:]
-        return (q_new, t_new), jnp.stack([jnp.sum(ok.astype(jnp.float32)), jnp.linalg.norm(dx)])
+        return (q_new, t_new, mean_g, ci, ok), \
+            jnp.stack([jnp.sum(ok.astype(jnp.float32)), jnp.linalg.norm(dx)])
 
-    (q, t), stats = jax.lax.scan(gn_step, (q0, t0), None, length=iters)
-    score, (ok, md) = score_fn(jnp.zeros(6, source.dtype), q, t)
+    q, t = q0, t0
+    stats = None
+    for _ in range(searches):
+        mean_g, ci, ok = associate(q, t)
+        (q, t, _, _, _), stats = jax.lax.scan(
+            gn_step, (q, t, mean_g, ci, ok), None, length=inner)
+    # final score at the converged pose (fresh association)
+    mean_g, ci, ok = associate(q, t)
+    pw_f = _apply(q, t, source)
+    dxv_f = pw_f - mean_g
+    md_f = jnp.einsum("ni,nij,nj->n", dxv_f, ci, dxv_f)
+    score = jnp.sum(jnp.where(ok, -d1 * jnp.exp(-0.5 * d2 * md_f), 0.0))
     n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
     info = dict(score=-score / n_ok, matched_frac=n_ok / jnp.maximum(
         jnp.sum(mask.astype(jnp.float32)), 1.0), last_delta=stats[-1, 1])

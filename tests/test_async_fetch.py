@@ -1,0 +1,111 @@
+"""Pipelined (one-frame-deep) device fetch in the Mapper (VERDICT r3 #4).
+
+``MapperConfig.async_fetch`` dispatches scan k's lio_step and completes
+scan k-1 while the device computes — hiding host<->device latency behind
+compute (the reference's latency-hiding pipeline threads,
+module/manager_template.py:68-96, re-expressed for an accelerator).
+
+Contract pinned here:
+  - the recorded trajectory (stamped odometry + keyframes) is IDENTICAL
+    to the synchronous path after finish_pending/flush — pipelining is a
+    scheduling change, not a numerics change;
+  - the first call returns pose=None; later calls return the previous
+    scan's result plus a ``live_pose`` extrapolated to the current stamp;
+  - flush()/save() drain the in-flight scan so no frame is lost.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsd_tpu.geometry import so3
+from lsd_tpu.sim import CircleSim, SimConfig
+from lsd_tpu.slam import LioConfig, Mapper, MapperConfig
+from lsd_tpu.slam.state import init_state
+
+
+@pytest.fixture(scope="module")
+def scans():
+    sim = CircleSim(SimConfig(radius=8.0, omega=0.8, n_scans=40,
+                              points_per_scan=4096, seed=4))
+    data = sim.generate(capacity=4096, imu_capacity=16)
+    R, p = sim.pose(0.0)
+    nav0 = init_state()._replace(
+        pos=jnp.asarray(p, jnp.float32),
+        quat=so3.matrix_to_quat(jnp.asarray(R, jnp.float32)),
+        vel=jnp.asarray(sim.velocity(0.0), jnp.float32))
+    return data, nav0
+
+
+def _run(scans, nav0, async_fetch: bool):
+    cfg = MapperConfig(lio=LioConfig(ds_capacity=2048, map_capacity=2 ** 15,
+                                     scan_voxel=0.4, map_voxel=0.4),
+                       keyframe_delta_trans=1.5, optimize_every=8,
+                       async_fetch=async_fetch)
+    m = Mapper(cfg)
+    m.lio_state = m.lio_state._replace(nav=nav0)
+    outs = []
+    for k, (P, S, M, I, IM, _T) in enumerate(scans):
+        outs.append(m.process_scan(P, S, M, I, IM, stamp_us=int(k * 1e5)))
+    m.flush()
+    return m, outs
+
+
+def test_async_trajectory_matches_sync(scans):
+    data, nav0 = scans
+    m_sync, _ = _run(data, nav0, async_fetch=False)
+    m_async, outs = _run(data, nav0, async_fetch=True)
+    # every scan accounted for after flush
+    assert len(m_async.odometry) == len(m_sync.odometry) == len(data)
+    # identical stamps and identical poses (same jitted programs, same
+    # inputs — pipelining must not change the estimate)
+    for (ts_a, T_a), (ts_s, T_s) in zip(m_async.odometry, m_sync.odometry):
+        assert ts_a == ts_s
+        np.testing.assert_allclose(T_a, T_s, atol=1e-6)
+    assert len(m_async.store) == len(m_sync.store)
+
+
+def test_async_return_protocol(scans):
+    data, nav0 = scans
+    _, outs = _run(data, nav0, async_fetch=True)
+    assert outs[0]["pose"] is None          # first call: nothing completed
+    for o in outs[1:]:
+        assert o["pose"] is not None
+        assert "live_pose" in o
+        assert np.isfinite(np.asarray(o["live_pose"])).all()
+
+
+def test_live_pose_extrapolates_forward(scans):
+    """live_pose at scan k's stamp should be closer to scan k's true pose
+    than the completed (k-1) pose is — the extrapolation must help."""
+    data, nav0 = scans
+    _, outs = _run(data, nav0, async_fetch=True)
+    gts = [d[5] for d in data]
+    better = worse = 0
+    # the completed pose in outs[k] belongs to scan k-1; live_pose is
+    # extrapolated to scan k's stamp, so compare against scan k's gt
+    for k in range(25, len(outs)):          # steady-state cruise
+        o = outs[k]
+        e_prev = np.linalg.norm(np.asarray(o["pose"])[:3, 3]
+                                - gts[k][:3, 3])
+        e_live = np.linalg.norm(np.asarray(o["live_pose"])[:3, 3]
+                                - gts[k][:3, 3])
+        if e_live <= e_prev + 1e-9:
+            better += 1
+        else:
+            worse += 1
+    assert better > worse
+
+
+def test_finish_pending_idempotent(scans):
+    data, nav0 = scans
+    cfg = MapperConfig(lio=LioConfig(ds_capacity=2048, map_capacity=2 ** 15,
+                                     scan_voxel=0.4, map_voxel=0.4),
+                       async_fetch=True)
+    m = Mapper(cfg)
+    m.lio_state = m.lio_state._replace(nav=nav0)
+    P, S, M, I, IM, _ = data[0]
+    m.process_scan(P, S, M, I, IM, stamp_us=100)
+    out = m.finish_pending()
+    assert out is not None and out["pose"] is not None
+    assert m.finish_pending() is None
+    assert len(m.odometry) == 1
