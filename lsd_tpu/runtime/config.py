@@ -79,7 +79,11 @@ DEFAULT_CONFIG: Dict[str, Any] = dict(
     # because trained weights ship for it (weights/detector_refcap.msgpack);
     # enable=true therefore works out of the box with a trained model.
     detection=dict(enable=False, score_threshold=[0.3, 0.35, 0.35],
-                   accum_frames=2, weights="", capacity="reference"),
+                   accum_frames=2, weights="", capacity="reference",
+                   # camera mono3D beside the lidar engine, late-fused
+                   # (ref docs/detect.md:70 mono3D RTM3D on DLA)
+                   mono3d=dict(enable=False, weights="", camera=None,
+                               score_threshold=0.3)),
     trafficlight=dict(enable=False, weights="", lights=[], camera=None),
     slam=dict(mode="mapping", method="FastLIO",
               map_path="", resolution=0.5,

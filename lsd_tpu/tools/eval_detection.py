@@ -25,14 +25,16 @@ CLASS_NAMES = {0: "Vehicle", 1: "Pedestrian", 2: "Cyclist"}
 
 
 def evaluate_weights(weights_path: str, n_batches: int = 8,
-                     batch: int = 2, int8: bool = False) -> dict:
+                     batch: int = 2, int8: bool = False,
+                     true_ref: bool = False) -> dict:
     import numpy as np
 
     from ..models import DetectorConfig
     from ..training import (SyntheticDetectionDataset, SyntheticSceneConfig,
                             Trainer, TrainerConfig)
 
-    det_cfg = DetectorConfig.reference_capacity()
+    det_cfg = (DetectorConfig.true_reference_capacity() if true_ref
+               else DetectorConfig.reference_capacity())
     trainer = Trainer(det_cfg=det_cfg, cfg=TrainerConfig())
     trainer.load(weights_path)
     if int8:
@@ -65,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--true-ref-capacity", action="store_true",
+                    help="score the 0.1 m-pitch (true deployed capacity) "
+                         "checkpoint instead of the 0.2 m one")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -81,14 +86,20 @@ def main(argv=None):
     if not weights:
         from ..models import DetectorConfig
         from ..runtime.modules import shipped_detector_weights
-        weights = shipped_detector_weights(DetectorConfig.reference_capacity())
-        assert weights, "no shipped reference-capacity weights found"
+        cfg_cls = (DetectorConfig.true_reference_capacity()
+                   if args.true_ref_capacity
+                   else DetectorConfig.reference_capacity())
+        weights = shipped_detector_weights(cfg_cls)
+        assert weights, "no shipped weights found for this capacity"
 
+    tr = bool(args.true_ref_capacity)
     report = dict(weights=weights,
-                  fp32=evaluate_weights(weights, args.batches, args.batch))
+                  fp32=evaluate_weights(weights, args.batches, args.batch,
+                                        true_ref=tr))
     if not args.skip_int8:
         report["int8_ptq"] = evaluate_weights(weights, args.batches,
-                                              args.batch, int8=True)
+                                              args.batch, int8=True,
+                                              true_ref=tr)
         report["int8_mean_ap_delta_wod"] = round(
             report["int8_ptq"]["mean_ap_wod"]
             - report["fp32"]["mean_ap_wod"], 4)

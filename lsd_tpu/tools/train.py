@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-capacity", action="store_true",
                     help="train the reference-capacity model (+-64 m, "
                          "0.2 m pillars, 640^2 grid)")
+    ap.add_argument("--true-ref-capacity", action="store_true",
+                    help="train at the reference's DEPLOYED pitch "
+                         "(0.1 m pillars, 1280^2 fine grid, "
+                         "space-to-depth 640^2 dense BEV)")
     ap.add_argument("--init", default=None,
                     help="warm-start from an existing checkpoint")
     args = ap.parse_args(argv)
@@ -50,7 +54,9 @@ def main(argv=None) -> int:
         mesh = jax.sharding.Mesh(devs, ("dp",))
 
     from ..models import DetectorConfig
-    det_cfg = (DetectorConfig.reference_capacity() if args.ref_capacity
+    det_cfg = (DetectorConfig.true_reference_capacity()
+               if args.true_ref_capacity
+               else DetectorConfig.reference_capacity() if args.ref_capacity
                else DetectorConfig())
     trainer = Trainer(det_cfg=det_cfg,
                       cfg=TrainerConfig(lr=args.lr, total_steps=args.steps),
@@ -64,7 +70,7 @@ def main(argv=None) -> int:
     else:
         from ..training import SyntheticSceneConfig
         scfg = SyntheticSceneConfig(realistic=args.realistic)
-        if args.ref_capacity:
+        if args.ref_capacity or args.true_ref_capacity:
             scfg.xy_range = 60.0
         ds = SyntheticDetectionDataset(scfg, batch_size=args.batch)
         batches = ds.batches(args.steps)
