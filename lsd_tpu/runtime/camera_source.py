@@ -46,11 +46,38 @@ class CameraUnit:
         self.intrinsic = intrinsic
         self.extrinsic = extrinsic
         self.jpeg_quality = int(jpeg_quality)
+        # per-frame undistortion (ref camera_data_manager.py:84
+        # 'undistortion' key -> hardware/gstreamer gstopencvremap.cpp;
+        # here a cv2.remap with maps precomputed on the first frame from
+        # intrinsic_parameters [fx fy cx cy k1 k2 p1 p2 (k3)])
+        self.undistort = bool((cam_cfg or {}).get(
+            "undistortion", (cam_cfg or {}).get("undistort", False)))
+        self._maps = None
+
+    def _undistort_maps(self, hw):
+        import numpy as np
+        intr = list(self.intrinsic or [])
+        if len(intr) < 8:
+            return None
+        fx, fy, cx, cy = intr[:4]
+        dist = np.asarray(list(intr[4:9]) + [0.0] * (5 - len(intr[4:9])),
+                          np.float64)
+        K = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        h, w = hw
+        m1, m2 = cv2.initUndistortRectifyMap(
+            K, dist, None, K, (w, h), cv2.CV_16SC2)
+        return m1, m2
 
     def grab(self) -> Optional[bytes]:
         ok, frame = self.cap.read()
         if not ok:
             return None
+        if self.undistort:
+            if self._maps is None:
+                self._maps = self._undistort_maps(frame.shape[:2]) or False
+            if self._maps:
+                frame = cv2.remap(frame, self._maps[0], self._maps[1],
+                                  cv2.INTER_LINEAR)
         ok, enc = cv2.imencode(".jpg", frame,
                                [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
         return enc.tobytes() if ok else None
@@ -83,8 +110,10 @@ class CameraSource(Module):
                 self.units.append(CameraUnit(
                     name=str(cc.get("name", len(self.units))),
                     source=cc.get("source", cc.get("device", 0)),
-                    intrinsic=cc.get("intrinsic"),
-                    extrinsic=cc.get("extrinsic"),
+                    intrinsic=cc.get("intrinsic",
+                                     cc.get("intrinsic_parameters")),
+                    extrinsic=cc.get("extrinsic",
+                                     cc.get("extrinsic_parameters")),
                     cam_cfg=cc))
             except (OSError, RuntimeError) as e:
                 self.logger.warning("camera %s unavailable: %s", cc.get("name"), e)

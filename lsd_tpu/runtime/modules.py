@@ -541,7 +541,25 @@ class DetectModule(Module):
     def setup(self, cfg) -> None:
         from ..detection import ObjectFilter, Tracker3D, TrackerConfig
         self.tracker = Tracker3D(TrackerConfig())
-        self.obj_filter = ObjectFilter()
+        # cfg.roi entries ({contour: [[x,y],...], is_included: bool} —
+        # the reference's board_cfg roi schema / web sketchpad payload)
+        # become the filter's include/exclude polygons
+        def build_filter(roi_list):
+            inc, exc = [], []
+            for r in (roi_list or []):
+                get = (r.get if isinstance(r, dict)
+                       else lambda k, d=None: getattr(r, k, d))
+                poly = get("contour") or []
+                if len(poly) >= 3:
+                    (inc if get("is_included", True) else exc).append(
+                        np.asarray(poly, float))
+            self.obj_filter = ObjectFilter(include_polygons=inc or None,
+                                           exclude_polygons=exc or None)
+            return "ok"
+
+        build_filter(getattr(cfg, "roi", None))
+        # live ROI update from the web sketchpad without a module reset
+        register_interface("detect.set_roi", build_filter)
         # multi-frame motion-compensated accumulation (ref
         # preprocess_kernel.cu A-B buffers; detection_object.yaml 2-frame)
         from ..detection.accumulate import FrameAccumulator

@@ -229,6 +229,11 @@ class PerceptionServer:
         cfg = self.perception.get_config()
         cfg["roi"] = [body]
         self.perception.set_config(cfg)
+        # apply live (cfg "roi" alone does not reset the pipeline)
+        try:
+            self.perception.call("detect.set_roi", [body])
+        except KeyError:
+            pass            # no Detect module in the pipeline
         return ""
 
     def _record_root(self) -> str:
