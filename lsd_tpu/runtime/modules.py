@@ -576,9 +576,11 @@ class DetectModule(Module):
                 # 640² model (the class the reference deploys:
                 # cfgs/detection_object.yaml); weights must match it
                 cap = str(getattr(cfg.detection, "capacity", "reference"))
-                self.det_cfg_ref = (DetectorConfig.reference_capacity()
-                                    if cap == "reference"
-                                    else DetectorConfig())
+                self.det_cfg_ref = (
+                    DetectorConfig.true_reference_capacity()
+                    if cap in ("true_reference", "deployed")
+                    else DetectorConfig.reference_capacity()
+                    if cap == "reference" else DetectorConfig())
                 self.predict_fn = build_detector_predict_fn(
                     weights=getattr(cfg.detection, "weights", None),
                     det_cfg=self.det_cfg_ref, with_seg=True)
