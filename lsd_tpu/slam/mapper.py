@@ -170,8 +170,10 @@ class Mapper:
             jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
             None if vel_obs is None else jnp.asarray(vel_obs),
             None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
-        job = dict(stamp_us=stamp_us, info=info, mask=mask, gps_xyz=gps_xyz,
-                   gps_info=gps_info, images=images, orient_quat=orient_quat)
+        job = dict(stamp_us=stamp_us, info=info, mask=mask,
+                   n_imu=int(np.asarray(imu_mask).sum()),
+                   gps_xyz=gps_xyz, gps_info=gps_info, images=images,
+                   orient_quat=orient_quat)
         if not cfg.async_fetch:
             return self._complete_scan(job)
         prev, self._pending = getattr(self, "_pending", None), job
@@ -188,10 +190,16 @@ class Mapper:
         (the host-side half of the pipelined step)."""
         info, stamp_us, mask = job["info"], job["stamp_us"], job["mask"]
         odom_pose = np.asarray(info["pose"], float)
-        # lazy high-rate pose source (device arrays; fetched on demand)
+        # lazy high-rate pose source (device arrays; fetched on demand).
+        # n_imu bounds the VALID prefix — the imu buffers are padded to
+        # capacity and padding stamps convert to large negative t, which
+        # get_timed_pose must never read (reading ts[-1] of the padded
+        # array made the extrapolation branch run seconds ahead and broke
+        # the live pose under async_fetch).
         self._track = dict(stamp_us=stamp_us, t=info["imu_t"],
                            quat=info["imu_quat"], pos=info["imu_pos"],
-                           vel=info["vel"], end_pose=odom_pose)
+                           vel=info["vel"], end_pose=odom_pose,
+                           n_imu=job.get("n_imu", 0))
 
         is_kf = self.updater.is_update(odom_pose)
         loop = None
@@ -516,9 +524,10 @@ class Mapper:
         if tr is None:
             return None
         t_rel = (int(ts_us) - tr["stamp_us"]) / 1e6
-        ts = np.asarray(tr["t"], float)
-        quat = np.asarray(tr["quat"], float)
-        pos = np.asarray(tr["pos"], float)
+        n = int(tr.get("n_imu", 0))
+        ts = np.asarray(tr["t"], float)[:n]
+        quat = np.asarray(tr["quat"], float)[:n]
+        pos = np.asarray(tr["pos"], float)[:n]
         T = np.eye(4)
         if len(ts) >= 2 and t_rel <= float(ts[-1]):
             i = int(np.searchsorted(ts, t_rel))
@@ -530,8 +539,11 @@ class Mapper:
             T[:3, :3] = np_so3.quat_to_matrix(q)
             T[:3, 3] = pos[i - 1] * (1 - a) + pos[i] * a
         else:
-            # extrapolate past the last sample with the filter velocity
+            # extrapolate past the last sample with the filter velocity,
+            # bounded to one frame interval — a stale track must degrade
+            # to the last known pose, not fling it
             T = tr["end_pose"].copy()
             dt = t_rel - (float(ts[-1]) if len(ts) else 0.0)
-            T[:3, 3] = T[:3, 3] + np.asarray(tr["vel"], float) * max(dt, 0.0)
+            T[:3, 3] = T[:3, 3] + np.asarray(tr["vel"], float) \
+                * float(np.clip(dt, 0.0, 0.2))
         return self.odom2map @ T

@@ -109,3 +109,35 @@ def test_finish_pending_idempotent(scans):
     assert out is not None and out["pose"] is not None
     assert m.finish_pending() is None
     assert len(m.odometry) == 1
+
+
+def test_live_pose_bounded_by_motion(scans):
+    """Regression (r4): get_timed_pose read the PADDED imu track rows —
+    padding stamps convert to large negative times, which pushed the
+    extrapolation branch seconds ahead (live pose 5x ahead of truth,
+    silently voiding every GNSS prior through the ingest gate).  The
+    live pose must stay within ~one frame of motion of the completed
+    pose."""
+    data, nav0 = scans
+    _, outs = _run(data, nav0, async_fetch=True)
+    for o in outs[1:]:
+        d = np.linalg.norm(np.asarray(o["live_pose"])[:3, 3]
+                           - np.asarray(o["pose"])[:3, 3])
+        assert d < 1.5, f"live pose ran {d:.2f} m ahead"
+
+
+def test_get_timed_pose_ignores_padding(scans):
+    data, nav0 = scans
+    m, _ = _run(data, nav0, async_fetch=False)
+    tr = m._track
+    n = int(tr["n_imu"])
+    assert 0 < n <= len(np.asarray(tr["t"]))
+    # padded tail would report negative times; the valid prefix must be
+    # monotonically increasing and small
+    ts = np.asarray(tr["t"], float)[:n]
+    assert (np.diff(ts) > 0).all() and ts[-1] < 0.5
+    # query a stamp one frame ahead: bounded extrapolation
+    T = m.get_timed_pose(int((len(data) - 1) * 1e5) + 100_000)
+    d = np.linalg.norm(np.asarray(T)[:3, 3]
+                       - np.asarray(m.odometry[-1][1])[:3, 3])
+    assert d < 1.5
