@@ -309,6 +309,18 @@ class SlamModule(Module):
             gps_info = None
             if d.get("ins_valid") and ins.get("latitude") and accepted:
                 from ..geometry.utm import UTMProjector
+                # pose AT THE FIX INSTANT for anchoring + outlier gating
+                # (ref ins_driver trigger / hdl gps interpolation).  The
+                # module's last_pose lags the fix by 1-2 frames (0.5-1 m
+                # at speed) — an anchor built from it offsets EVERY
+                # later prior by that constant (r4 session B: 0.46 m
+                # absolute map offset).
+                pose_ref = self.last_pose
+                fix_ts_ref = float(ins.get("timestamp", ts))
+                if hasattr(self.engine, "get_timed_pose"):
+                    T_at = self.engine.get_timed_pose(int(fix_ts_ref))
+                    if T_at is not None:
+                        pose_ref = np.asarray(T_at, float)
                 if not hasattr(self, "_proj"):
                     self._proj = UTMProjector()
                     if self.engine.origin_lla is None:
@@ -331,7 +343,7 @@ class SlamModule(Module):
                                         float(np.ravel(n0)[0]),
                                         float(ins.get("altitude", 0.0)))
                     self._map_anchor = np.asarray(
-                        self.last_pose[:3, 3], float).copy()
+                        pose_ref[:3, 3], float).copy()
                 e, n = self._proj.project(float(ins["latitude"]),
                                           float(ins["longitude"]),
                                           relative=False)
@@ -363,7 +375,7 @@ class SlamModule(Module):
                 # pose (backstopped by the optimizer's chi2 gating /
                 # robust_graph_optimize): a "fixed" status 20 m from the
                 # estimate is a multipath jump, not a correction
-                if np.linalg.norm(gps_xyz[:2] - self.last_pose[:2, 3]) > 5.0:
+                if np.linalg.norm(gps_xyz[:2] - pose_ref[:2, 3]) > 5.0:
                     gps_xyz = gps_info = None
                 if "Ve" in ins:
                     vel_obs = np.asarray([float(ins.get("Ve", 0.0)),
