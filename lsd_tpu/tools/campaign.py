@@ -248,7 +248,12 @@ def run_session(rec: Dict, map_dir: str, sim, name: str,
 def run_reference_odometry(sim, tmpdir: str) -> Optional[Dict]:
     """Export the identical session and run the reference FAST-LIO2
     binary (odometry only — the reference's loop closure isn't in the
-    baseline driver)."""
+    baseline driver).  Cached per out-dir: the reference binary's result
+    is independent of our code, so campaign re-runs reuse it."""
+    cache = os.path.join(tmpdir, "reference_odometry.json")
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            return json.load(fh)
     bin_path = os.path.join(REPO, "baseline_ref", "fastlio_baseline")
     if not os.path.exists(bin_path):
         try:
@@ -271,8 +276,11 @@ def run_reference_odometry(sim, tmpdir: str) -> Optional[Dict]:
     est = np.zeros((len(rows), 4, 4))
     est[:, :3] = rows[:, 1:].reshape(-1, 3, 4)
     est[:, 3, 3] = 1
-    return dict(ate_m=round(_ate(est, gt, 27), 4),
-                per_scan_ms=float(meas["per_scan_ms"]))
+    res = dict(ate_m=round(_ate(est, gt, 27), 4),
+               per_scan_ms=float(meas["per_scan_ms"]))
+    with open(cache, "w") as fh:
+        json.dump(res, fh)
+    return res
 
 
 def merge_distributed(map_a: str, map_b: str, out_dir: str,
