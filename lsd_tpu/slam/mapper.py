@@ -189,16 +189,24 @@ class Mapper:
         """Fetch a dispatched scan's results and run keyframe/graph work
         (the host-side half of the pipelined step)."""
         info, stamp_us, mask = job["info"], job["stamp_us"], job["mask"]
-        odom_pose = np.asarray(info["pose"], float)
-        # lazy high-rate pose source (device arrays; fetched on demand).
+        # ONE batched device fetch for everything the host consumes per
+        # scan (pose + the high-rate IMU track).  Separate np.asarray
+        # calls each pay a full host<->device round trip on a tunneled
+        # chip — the per-frame live_pose alone cost 4 extra RTTs and
+        # collapsed campaign throughput.
+        import jax as _jax
+        pose_f, t_f, q_f, p_f, v_f = _jax.device_get(
+            (info["pose"], info["imu_t"], info["imu_quat"],
+             info["imu_pos"], info["vel"]))
+        odom_pose = np.asarray(pose_f, float)
         # n_imu bounds the VALID prefix — the imu buffers are padded to
         # capacity and padding stamps convert to large negative t, which
         # get_timed_pose must never read (reading ts[-1] of the padded
         # array made the extrapolation branch run seconds ahead and broke
         # the live pose under async_fetch).
-        self._track = dict(stamp_us=stamp_us, t=info["imu_t"],
-                           quat=info["imu_quat"], pos=info["imu_pos"],
-                           vel=info["vel"], end_pose=odom_pose,
+        self._track = dict(stamp_us=stamp_us, t=np.asarray(t_f),
+                           quat=np.asarray(q_f), pos=np.asarray(p_f),
+                           vel=np.asarray(v_f), end_pose=odom_pose,
                            n_imu=job.get("n_imu", 0))
 
         is_kf = self.updater.is_update(odom_pose)
@@ -238,7 +246,9 @@ class Mapper:
             pts4 = np.concatenate([pts4, np.zeros((len(pts4), 1), np.float32)], 1)
         ds, ds_mask = voxel_downsample(jnp.asarray(pts4), jnp.asarray(mask),
                                        cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
-        cloud = np.asarray(ds)[np.asarray(ds_mask)]
+        import jax as _jax
+        ds_h, dm_h = _jax.device_get((ds, ds_mask))   # one round trip
+        cloud = np.asarray(ds_h)[np.asarray(dm_h)]
 
         # node enters the graph in the map frame so it is consistent with
         # already-optimized neighbours (ref hdl_graph_slam flush_keyframe_queue
@@ -374,8 +384,9 @@ class Mapper:
         kf = self.store[kid]
         if kf.accum_distance < cfg.loop_min_distance or len(self.sc_ids) < 5:
             return None
-        idx, dist, yaw = sc_query(self.sc_db, desc, num_candidates=10,
-                                  exclude_recent=5)
+        import jax as _jax
+        idx, dist, yaw = _jax.device_get(
+            sc_query(self.sc_db, desc, num_candidates=10, exclude_recent=5))
         idx = int(idx)
         if idx < 0 or idx >= len(self.sc_ids) or float(dist) > cfg.loop_sc_thresh:
             self.loop_stats["sc"] += 1
@@ -431,21 +442,27 @@ class Mapper:
             m, jnp.asarray(src_pad), jnp.asarray(smask), q0, t0,
             iters=cfg.loop_icp_iters, plane_thresh=0.1, max_dist=0.5,
             min_points=4)   # the fine local map is sparse per voxel
+        # ONE batched fetch of every scalar/array the gates consume —
+        # separate float()/np.asarray() calls each pay a tunnel RTT and
+        # the graph worker runs thousands of candidate checks
+        q_h, t_h, inl_ratio, n_inl, mean_res, JtJ_h = _jax.device_get(
+            (q, t, icp_info["inlier_ratio"], icp_info["n_inliers"],
+             icp_info["mean_residual"], icp_info["JtJ"]))
         # quality = inlier ratio among source points with a target plane
         # (coverage-independent — the verification map is LOCAL, so plain
         # fitness is capped by the overlap fraction) + an absolute inlier
         # floor so tiny overlaps can't pass
-        quality = float(icp_info["inlier_ratio"])
+        quality = float(inl_ratio)
         if quality < cfg.loop_fitness_thresh or \
-                float(icp_info["n_inliers"]) < cfg.loop_min_inliers:
+                float(n_inl) < cfg.loop_min_inliers:
             self.loop_stats["fitness"] += 1
             return None
-        if float(icp_info["mean_residual"]) > cfg.loop_max_residual:
+        if float(mean_res) > cfg.loop_max_residual:
             self.loop_stats["residual"] += 1
             return None
         T_rel = np.eye(4)
-        T_rel[:3, :3] = np_so3.quat_to_matrix(np.asarray(q))
-        T_rel[:3, 3] = np.asarray(t)
+        T_rel[:3, :3] = np_so3.quat_to_matrix(np.asarray(q_h))
+        T_rel[:3, 3] = np.asarray(t_h)
         # gross-mismatch gate vs the current relative estimate
         D = np.linalg.inv(T0) @ T_rel
         d_ang = np.degrees(np.arccos(np.clip((np.trace(D[:3, :3]) - 1) / 2,
@@ -458,8 +475,8 @@ class Mapper:
         # inv(JtJ), already expressed in node i's (candidate's) frame —
         # the frame the graph residual whitens in; per-axis info =
         # discount/diag(cov), capped.
-        A6 = np.asarray(icp_info["JtJ"], float)
-        sigma = max(float(icp_info["mean_residual"]), 0.01)
+        A6 = np.asarray(JtJ_h, float)
+        sigma = max(float(mean_res), 0.01)
         try:
             cov = sigma ** 2 * np.linalg.inv(A6 + 1e-6 * np.eye(6))
         except np.linalg.LinAlgError:
