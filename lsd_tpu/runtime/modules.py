@@ -426,16 +426,26 @@ class SlamModule(Module):
                 last = np.asarray(frame.imu.data)[int(frame.imu.mask.sum()) - 1]
                 gyro, acc = last[1:4], last[4:7]
             ins = d.get("ins_data") or {}
+            gps_var = 4.0
             if d.get("ins_valid") and ins.get("latitude") \
                     and int(ins.get("Status", 0)) != 0:
                 gps = self.engine.project_fix(float(ins["latitude"]),
                                               float(ins["longitude"]),
                                               float(ins.get("altitude", 0.0)))
+                # measurement variance from fix quality (ref slam.cpp
+                # status priority -> covariance-weighted LIO/GPS fusion,
+                # docs/slam.md:200-214): RTK-fix sigma 0.1 m, float
+                # 0.5 m, single 2 m.  A hardcoded weak variance let the
+                # NDT tracker slide onto an aliased branch of a
+                # self-similar world faster than GNSS could pull it back
+                # (r4 loc_eval diagnosis).
+                gps_var = {42: 0.01, 52: 0.25}.get(
+                    int(ins.get("Status", 0)), 4.0)
             out = self.engine.process_scan(frame.scan.points[:, :3],
                                            frame.scan.mask,
                                            stamp_us=frame.scan.timestamp,
                                            imu_gyro=gyro, imu_acc=acc,
-                                           gps_xyz=gps)
+                                           gps_xyz=gps, gps_var=gps_var)
         if out.get("pose") is not None:
             # live_pose = IMU-extrapolated to THIS frame's stamp when the
             # mapper runs pipelined (its "pose" is the previous scan's)

@@ -42,7 +42,7 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
                         gps_var: jax.Array,
                         ukf_cfg: UkfConfig = UkfConfig(),
                         has_imu: bool = False,
-                        ndt_iters: int = 15, ndt_searches: int = 5,
+                        ndt_iters: int = 15, ndt_searches: int = 15,
                         icp_iters: int = 6, icp_searches: int = 2):
     """ONE fused localization tracking step: UKF predict -> NDT match ->
     ICP refine -> gated UKF pose correct -> optional GNSS position
@@ -331,6 +331,24 @@ class Localizer:
                 self.initialized = False
                 self._misses = 0
                 return dict(pose=None, status="lost")
+        # GNSS consistency watchdog: in self-similar worlds the NDT/ICP
+        # matcher can slide onto an aliased branch with a HIGH matched
+        # fraction, so the miss counter never fires; a persistent
+        # disagreement with an available fix is the unambiguous lost
+        # signal (ref slam.cpp fallback chain + re-initialization,
+        # localization.cpp).  Sustained > 12 m for 5 fixes -> reinit
+        # (reloc is itself GNSS-gated, so recovery lands on the right
+        # branch).
+        if gps_xyz is not None:
+            if np.linalg.norm(T[:2, 3] - np.asarray(gps_xyz)[:2]) > 12.0:
+                self._gps_incons = getattr(self, "_gps_incons", 0) + 1
+                if self._gps_incons >= 5:
+                    self.initialized = False
+                    self._gps_incons = 0
+                    self._misses = 0
+                    return dict(pose=None, status="lost")
+            else:
+                self._gps_incons = 0
 
         if np.linalg.norm(T[:3, 3] - self.map_center) > self.cfg.update_map_every:
             # coverage guard: only recentre while keyframes exist around

@@ -159,19 +159,24 @@ def ukf_pose(st: UkfState) -> jax.Array:
 @mxu_f32
 def ukf_correct_position(st: UkfState, obs_pos: jax.Array,
                          r_pos: jax.Array) -> UkfState:
-    """Position-only observation (GNSS fix projected into the map frame).
+    """Position observation (GNSS fix projected into the map frame).
 
-    r_pos is the measurement variance (m^2) — large for single-point
-    fixes, small for RTK.  Plays the reference's GPS branch of the
-    covariance-weighted LIO/GPS fusion (docs/slam.md:200-214 harmonic
-    mean; hdl_localization pose_estimator GPS observation)."""
+    r_pos is the XY measurement variance (m^2) — large for single-point
+    fixes, small for RTK; the Z axis is always near-unconstrained
+    (variance 1e4): GNSS altitude lives on a different datum than the
+    map's z, and a tight 3D correction drags the filter's height off the
+    map, collapsing the scan match (mapping likewise constrains XY only,
+    hdl_graph_slam gps_edge_stddev_xy).  Plays the reference's GPS
+    branch of the covariance-weighted LIO/GPS fusion
+    (docs/slam.md:200-214; hdl_localization pose_estimator)."""
     cfg = UkfConfig()
     pts, wm, wc = _sigma_points(st.x, st.P, cfg)
     Z = pts[:, 0:3]
     z_mean = jnp.einsum("i,ij->j", wm, Z)
     dz = Z - z_mean[None, :]
     dx = pts - st.x[None, :]
-    R = jnp.eye(3) * r_pos
+    R = jnp.diag(jnp.stack([r_pos, r_pos,
+                            jnp.asarray(1e4, r_pos.dtype)]))
     S = jnp.einsum("i,ij,ik->jk", wc, dz, dz) + R
     C = jnp.einsum("i,ij,ik->jk", wc, dx, dz)
     K = jnp.linalg.solve(S.T, C.T).T
