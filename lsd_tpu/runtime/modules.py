@@ -446,6 +446,15 @@ class SlamModule(Module):
                                            stamp_us=frame.scan.timestamp,
                                            imu_gyro=gyro, imu_acc=acc,
                                            gps_xyz=gps, gps_var=gps_var)
+            if out.get("pose") is None and gps is not None:
+                # fallback chain (ref slam.cpp:440-455): while the
+                # localizer is lost/relocalizing, publish the RTK-only
+                # position (orientation held) instead of freezing the
+                # last fused pose — the published stream must keep
+                # following the vehicle
+                T = np.asarray(self.last_pose, float).copy()
+                T[:2, 3] = np.asarray(gps, float)[:2]
+                self.last_pose = T
         if out.get("pose") is not None:
             # live_pose = IMU-extrapolated to THIS frame's stamp when the
             # mapper runs pipelined (its "pose" is the previous scan's)
