@@ -427,11 +427,17 @@ class SlamModule(Module):
                 gyro, acc = last[1:4], last[4:7]
             ins = d.get("ins_data") or {}
             gps_var = 4.0
+            ins_yaw = None
             if d.get("ins_valid") and ins.get("latitude") \
                     and int(ins.get("Status", 0)) != 0:
                 gps = self.engine.project_fix(float(ins["latitude"]),
                                               float(ins["longitude"]),
                                               float(ins.get("altitude", 0.0)))
+                if ins.get("heading") is not None:
+                    # NED-clockwise degrees -> ENU yaw (rad); arbitrates
+                    # flipped/aliased reloc hypotheses and tracking
+                    ins_yaw = float(np.deg2rad(
+                        90.0 - float(ins.get("heading") or 0.0)))
                 # measurement variance from fix quality (ref slam.cpp
                 # status priority -> covariance-weighted LIO/GPS fusion,
                 # docs/slam.md:200-214): RTK-fix sigma 0.1 m, float
@@ -445,7 +451,8 @@ class SlamModule(Module):
                                            frame.scan.mask,
                                            stamp_us=frame.scan.timestamp,
                                            imu_gyro=gyro, imu_acc=acc,
-                                           gps_xyz=gps, gps_var=gps_var)
+                                           gps_xyz=gps, gps_var=gps_var,
+                                           ins_yaw=ins_yaw)
             if out.get("pose") is None and gps is not None:
                 # fallback chain (ref slam.cpp:440-455): while the
                 # localizer is lost/relocalizing, publish the RTK-only

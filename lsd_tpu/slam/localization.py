@@ -275,11 +275,21 @@ class Localizer:
 
     def process_scan(self, points, mask, stamp_us: int,
                      imu_gyro=None, imu_acc=None, image=None,
-                     gps_xyz=None, gps_var: float = 4.0) -> Dict:
-        """Feed one padded scan (sensor frame). Returns dict(pose, status)."""
+                     gps_xyz=None, gps_var: float = 4.0,
+                     ins_yaw=None) -> Dict:
+        """Feed one padded scan (sensor frame). Returns dict(pose, status).
+        ins_yaw: optional ENU yaw (rad) from a trusted INS fix — used to
+        arbitrate reloc hypotheses and tracked heading."""
         points = np.asarray(points, np.float32)
         mask = np.asarray(mask, bool)
         self._last_scan = (points, mask, image)
+
+        def yaw_of(Tm):
+            return float(np.arctan2(Tm[1, 0], Tm[0, 0]))
+
+        def yaw_diff(a, b):
+            return abs((a - b + np.pi) % (2 * np.pi) - np.pi)
+
         if not self.initialized:
             T = self._relocalize(points, mask, image=image)
             if T is not None and gps_xyz is not None and \
@@ -290,6 +300,14 @@ class Localizer:
                 # current fix within tens of meters arbitrates for free
                 # (ref: setInitPoseRange seeds reloc from GPS,
                 # global_localization.cpp)
+                T = None
+            if T is not None and ins_yaw is not None and \
+                    yaw_diff(yaw_of(T), float(ins_yaw)) > 0.8:
+                # INS-heading arbitration: a symmetric world admits
+                # 180-degree-flipped hypotheses at the RIGHT position
+                # (figure-eight crossing) — position gates cannot see
+                # them; the INS heading can (ref hdl_graph_slam IMU
+                # orientation edges / slam.cpp INS trust chain)
                 T = None
             if T is None:
                 return dict(pose=None, status="relocalizing")
@@ -339,8 +357,15 @@ class Localizer:
         # localization.cpp).  Sustained > 12 m for 5 fixes -> reinit
         # (reloc is itself GNSS-gated, so recovery lands on the right
         # branch).
-        if gps_xyz is not None:
-            if np.linalg.norm(T[:2, 3] - np.asarray(gps_xyz)[:2]) > 12.0:
+        incons = False
+        if gps_xyz is not None and \
+                np.linalg.norm(T[:2, 3] - np.asarray(gps_xyz)[:2]) > 12.0:
+            incons = True
+        if ins_yaw is not None and \
+                yaw_diff(yaw_of(T), float(ins_yaw)) > 0.8:
+            incons = True          # flipped/aliased heading (see reloc gate)
+        if gps_xyz is not None or ins_yaw is not None:
+            if incons:
                 self._gps_incons = getattr(self, "_gps_incons", 0) + 1
                 if self._gps_incons >= 5:
                     self.initialized = False
