@@ -37,6 +37,9 @@ def feed_scans(m, n=25):
             vel=jnp.asarray(sim.velocity(0.0), jnp.float32)))
     for k, (P_, S_, M_, I_, IM_, _) in enumerate(data):
         m.engine.process_scan(P_, S_, M_, I_, IM_, stamp_us=int(k * 1e5))
+    # settle the engine: under async_fetch one scan stays in flight, and
+    # editor ops that flush would otherwise add a keyframe mid-test
+    m.engine.flush()
 
 
 @pytest.mark.slow

@@ -175,7 +175,11 @@ class TestGpsFusion:
             st = ukf_predict(st, jnp.asarray(0.1, jnp.float32))
             st = ukf_correct_position(st, target, jnp.asarray(0.25))
         p = np.asarray(ukf_pose(st))[:3, 3]
-        assert np.linalg.norm(p - np.asarray(target)) < 0.3
+        # XY is pulled to the fix; Z is intentionally NOT (GNSS altitude
+        # lives on a different datum than the map — ukf_correct_position
+        # constrains XY only, like mapping's gps_edge_stddev_xy)
+        assert np.linalg.norm(p[:2] - np.asarray(target)[:2]) < 0.3
+        assert abs(p[2]) < 0.1
 
     def test_project_fix_uses_map_origin(self, mapping_run):
         sim, mapper, gts, map_dir = mapping_run
