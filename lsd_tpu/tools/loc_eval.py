@@ -82,6 +82,7 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
     # per-frame fused poses: sample the module's published pose by
     # timestamp (the same surface slam.get_pose serves)
     poses: Dict[int, np.ndarray] = {}
+    tracking: Dict[int, bool] = {}
     orig_process = slam_mod.process
 
     def tap(d):
@@ -89,6 +90,10 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
         ts = d.get("frame_start_timestamp")
         if out is not None and ts is not None:
             poses[int(ts)] = np.asarray(slam_mod.last_pose, float).copy()
+            # tracked vs fallback/reloc frames: the reference's published
+            # table assumes continuous localization, so the tracked-only
+            # slice is the comparable number
+            tracking[int(ts)] = bool(getattr(eng, "initialized", False))
         return out
     slam_mod.process = tap
 
@@ -107,7 +112,7 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
 
     # score vs ground truth (reference table: max/RMSE X, Y, heading)
     ts_to_gt = {int(t): T for t, T in zip(rec["ts_us"], rec["gt"])}
-    ex, ey, eh, et = [], [], [], []
+    ex, ey, eh, et, etrk = [], [], [], [], []
     init_ts = None
     for ts, T in sorted(poses.items()):
         if int(ts) not in ts_to_gt:
@@ -125,7 +130,9 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
         yaw_e = (yaw_e + 180.0) % 360.0 - 180.0
         ex.append(abs(d[0])); ey.append(abs(d[1])); eh.append(abs(yaw_e))
         et.append(ts)
+        etrk.append(bool(tracking.get(int(ts), False)))
     ex, ey, eh = map(np.asarray, (ex, ey, eh))
+    etrk_a = np.asarray(etrk, bool) if etrk else np.zeros(0, bool)
     rmse = lambda a: float(np.sqrt(np.mean(a ** 2))) if len(a) else None
     mx = lambda a: float(np.max(a)) if len(a) else None
     # dropout-window slice
@@ -148,6 +155,24 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
                                  if in_drop.any() else None),
         rmse_y_during_dropout_m=(round(rmse(ey[in_drop]), 4)
                                  if in_drop.any() else None),
+        # tracked-only slice (excluding reloc/fallback frames) — the
+        # number comparable to the reference's continuous-localization
+        # table (docs/slam.md:217-233)
+        frames_tracking=int(etrk_a.sum()),
+        tracking_fraction=round(float(etrk_a.mean()), 3)
+        if len(etrk_a) else None,
+        rmse_x_tracking_m=(round(rmse(ex[etrk_a]), 4)
+                           if etrk_a.any() else None),
+        rmse_y_tracking_m=(round(rmse(ey[etrk_a]), 4)
+                           if etrk_a.any() else None),
+        max_x_tracking_m=(round(mx(ex[etrk_a]), 4)
+                          if etrk_a.any() else None),
+        max_y_tracking_m=(round(mx(ey[etrk_a]), 4)
+                          if etrk_a.any() else None),
+        rmse_heading_tracking_deg=(round(rmse(eh[etrk_a]), 3)
+                                   if etrk_a.any() else None),
+        max_heading_tracking_deg=(round(mx(eh[etrk_a]), 3)
+                                  if etrk_a.any() else None),
     )
     return report
 
