@@ -447,12 +447,25 @@ class SlamModule(Module):
                 # (r4 loc_eval diagnosis).
                 gps_var = {42: 0.01, 52: 0.25}.get(
                     int(ins.get("Status", 0)), 4.0)
+            # full scan stamps + IMU batch feed the localizer's
+            # side-running LIO odometry (relative times like mapping)
+            imu_rel = imu_mask_l = None
+            if frame.imu is not None:
+                imu_rel = np.asarray(frame.imu.data, np.float64).copy()
+                if imu_rel.size and imu_rel[:, 0].max() > 1e6:
+                    imu_rel[:, 0] = (imu_rel[:, 0]
+                                     - frame.scan.timestamp) / 1e6
+                imu_rel = imu_rel.astype(np.float32)
+                imu_mask_l = frame.imu.mask
             out = self.engine.process_scan(frame.scan.points[:, :3],
                                            frame.scan.mask,
                                            stamp_us=frame.scan.timestamp,
                                            imu_gyro=gyro, imu_acc=acc,
                                            gps_xyz=gps, gps_var=gps_var,
-                                           ins_yaw=ins_yaw)
+                                           ins_yaw=ins_yaw,
+                                           stamps=frame.scan.stamps,
+                                           imu=imu_rel,
+                                           imu_mask=imu_mask_l)
             if out.get("pose") is None and gps is not None:
                 # fallback chain (ref slam.cpp:440-455): while the
                 # localizer is lost/relocalizing, publish the RTK-only

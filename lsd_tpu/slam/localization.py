@@ -27,11 +27,13 @@ from .map_io import load_map
 from .registration import icp_point_to_plane, ndt_align, ndt_build
 from .scancontext import (make_descriptor, sc_db_add_batch,
                           sc_db_create, sc_query)
+from .lio import LioConfig, lio_init, lio_step
 from .ukf import (UkfConfig, UkfState, ukf_correct, ukf_correct_position,
-                  ukf_init, ukf_pose, ukf_predict)
+                  ukf_init, ukf_pose, ukf_predict, ukf_predict_odom)
 
 
 @functools.partial(jax.jit, static_argnames=("ukf_cfg", "has_imu",
+                                             "has_odom",
                                              "ndt_iters", "ndt_searches",
                                              "icp_iters", "icp_searches"))
 @mxu_f32
@@ -40,8 +42,10 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
                         imu_gyro: jax.Array, imu_acc: jax.Array,
                         gps_xyz: jax.Array, gps_valid: jax.Array,
                         gps_var: jax.Array,
+                        odom_dq: jax.Array = None,
+                        odom_dt: jax.Array = None,
                         ukf_cfg: UkfConfig = UkfConfig(),
-                        has_imu: bool = False,
+                        has_imu: bool = False, has_odom: bool = False,
                         ndt_iters: int = 15, ndt_searches: int = 15,
                         icp_iters: int = 6, icp_searches: int = 2):
     """ONE fused localization tracking step: UKF predict -> NDT match ->
@@ -55,9 +59,14 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
     (matched_frac / fitness thresholds) runs on-device via state
     selection so the miss bookkeeping on the host needs only the fetched
     scalars."""
-    st_pred = ukf_predict(ukf_st, dt, ukf_cfg,
-                          imu_gyro if has_imu else None,
-                          imu_acc if has_imu else None)
+    if has_odom:
+        # LiDAR-inertial odometry increment drives the prediction (the
+        # reference's localization fusion, docs/slam.md:200-214)
+        st_pred = ukf_predict_odom(ukf_st, odom_dq, odom_dt, dt, ukf_cfg)
+    else:
+        st_pred = ukf_predict(ukf_st, dt, ukf_cfg,
+                              imu_gyro if has_imu else None,
+                              imu_acc if has_imu else None)
     T_pred = ukf_pose(st_pred)
     q0 = so3.matrix_to_quat(T_pred[:3, :3])
     t0 = T_pred[:3, 3]
@@ -94,6 +103,19 @@ class LocalizerConfig:
     # dead-reckoning on IMU integration (which runs away quadratically
     # and drags the local-map window off the map).
     lost_after_misses: int = 10
+    # run a lightweight LIO alongside localization and drive the UKF
+    # prediction with its odometry increments when the caller provides
+    # full scans+IMU (ref: FastLIO keeps running during localization,
+    # fused per docs/slam.md:200-214).  Falls back to IMU/const-velocity
+    # prediction when inputs or the LIO step are unavailable.
+    # OPT-IN for now: the side LIO cold-starts mid-motion and its
+    # convergence transients need the warm-up/consistency gating below;
+    # end-to-end tuning on the campaign worlds is future work (the
+    # mechanism + gates are unit-tested).
+    use_lio_odometry: bool = False
+    lio: LioConfig = dataclasses.field(default_factory=lambda: LioConfig(
+        ds_capacity=8192, map_capacity=2 ** 17,
+        scan_voxel=0.4, map_voxel=0.4, max_iters=3))
     ukf: UkfConfig = UkfConfig()
 
 
@@ -273,16 +295,60 @@ class Localizer:
         alt0 = o[2] if o.size > 2 else 0.0
         return np.asarray([x - x0, y - y0, alt - alt0], np.float32)
 
+    def _lio_increment(self, points, stamps, mask, imu, imu_mask):
+        """Advance the side-running LIO; returns (dq, dtrans) — the
+        body-frame SE3 increment since the previous scan — or None while
+        the side filter is warming up / unhealthy.
+
+        The side LIO cold-starts at identity, usually MID-MOTION (a
+        localization session rarely begins at rest), so its first
+        increments are convergence transients that must not drive the
+        UKF (measured: feeding them pushed tracking into a 0.6 m/frame
+        runaway that NDT could not out-vote under odometry-grade process
+        noise).  Increments are withheld for a warm-up window and gated
+        against the filter's own step magnitude."""
+        if stamps is None or imu is None:
+            return None
+        if getattr(self, "_lio_state", None) is None:
+            self._lio_state = lio_init(self.cfg.lio)
+            self._lio_prev = np.eye(4)
+            self._lio_n = 0
+        self._lio_state, info = lio_step(
+            self.cfg.lio, self._lio_state,
+            jnp.asarray(points[:, :3]), jnp.asarray(stamps),
+            jnp.asarray(mask), jnp.asarray(imu, jnp.float32),
+            jnp.asarray(imu_mask))
+        pose = np.asarray(jax.device_get(info["pose"]), float)
+        dT = np.linalg.inv(self._lio_prev) @ pose
+        self._lio_prev = pose
+        self._lio_n += 1
+        if self._lio_n <= 10 or not np.isfinite(dT).all():
+            return None
+        # consistency vs the localizer's own recent step (published pose
+        # delta): an unconverged/degenerate LIO reports near-zero or
+        # runaway motion — fall back to const-velocity for that frame
+        exp = getattr(self, "_last_step_mag", None)
+        mag = float(np.linalg.norm(dT[:3, 3]))
+        if exp is not None and abs(mag - exp) > max(0.5 * exp, 0.3):
+            return None
+        dq = np_so3.matrix_to_quat(dT[:3, :3]).astype(np.float32)
+        return dq, dT[:3, 3].astype(np.float32)
+
     def process_scan(self, points, mask, stamp_us: int,
                      imu_gyro=None, imu_acc=None, image=None,
                      gps_xyz=None, gps_var: float = 4.0,
-                     ins_yaw=None) -> Dict:
+                     ins_yaw=None, stamps=None, imu=None,
+                     imu_mask=None) -> Dict:
         """Feed one padded scan (sensor frame). Returns dict(pose, status).
         ins_yaw: optional ENU yaw (rad) from a trusted INS fix — used to
         arbitrate reloc hypotheses and tracked heading."""
         points = np.asarray(points, np.float32)
         mask = np.asarray(mask, bool)
         self._last_scan = (points, mask, image)
+        # step the side-running LIO on EVERY scan (also while lost /
+        # relocalizing) so its odometry stays continuous across gaps
+        inc = (self._lio_increment(points, stamps, mask, imu, imu_mask)
+               if self.cfg.use_lio_odometry else None)
 
         def yaw_of(Tm):
             return float(np.arctan2(Tm[1, 0], Tm[0, 0]))
@@ -315,6 +381,18 @@ class Localizer:
             self._build_local_map(T[:3, 3])
             self.initialized = True
             self.last_stamp_us = stamp_us
+            self._prev_pub = np.asarray(T, float).copy()
+            self._last_step_mag = None
+            # seed the side LIO's pose at the relocalized map pose so
+            # its frame matches from here on (velocity re-converges)
+            if getattr(self, "_lio_state", None) is not None:
+                from .state import init_state as _init_nav
+                self._lio_state = self._lio_state._replace(
+                    nav=self._lio_state.nav._replace(
+                        pos=jnp.asarray(T[:3, 3], jnp.float32),
+                        quat=so3.matrix_to_quat(
+                            jnp.asarray(T[:3, :3], jnp.float32))))
+                self._lio_prev = np.asarray(T, float).copy()
             return dict(pose=T, status="initialized")
 
         dt = max((stamp_us - self.last_stamp_us) / 1e6, 1e-3) if self.last_stamp_us else 0.1
@@ -335,7 +413,12 @@ class Localizer:
                             jnp.float32),
                 jnp.asarray(gps_xyz is not None),
                 jnp.asarray(gps_var, jnp.float32),
-                ukf_cfg=self.cfg.ukf, has_imu=has_imu)
+                odom_dq=jnp.asarray(inc[0] if inc is not None
+                                    else [1.0, 0, 0, 0], jnp.float32),
+                odom_dt=jnp.asarray(inc[1] if inc is not None else z3,
+                                    jnp.float32),
+                ukf_cfg=self.cfg.ukf, has_imu=has_imu,
+                has_odom=inc is not None)
         T, matched, track_ok = jax.device_get((T_dev, matched_dev, ok_dev))
         T = np.asarray(T, float)
         matched = float(matched)
@@ -384,4 +467,9 @@ class Localizer:
                 self._build_local_map(T[:3, 3])
             else:
                 self._misses = getattr(self, "_misses", 0) + 1
+        prev = getattr(self, "_prev_pub", None)
+        if prev is not None:
+            self._last_step_mag = float(
+                np.linalg.norm(T[:3, 3] - prev[:3, 3]))
+        self._prev_pub = T.copy()
         return dict(pose=T, status="tracking", matched_frac=matched)

@@ -126,6 +126,47 @@ def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 @mxu_f32
+def ukf_predict_odom(st: UkfState, dquat: jax.Array, dtrans: jax.Array,
+                     dt: jax.Array,
+                     cfg: UkfConfig = UkfConfig()) -> UkfState:
+    """Odometry-driven prediction: right-compose a measured body-frame
+    SE3 increment (dquat, dtrans) into every sigma point.
+
+    This is the reference's localization fusion shape — FULL LiDAR-
+    inertial odometry keeps running during localization and the filter
+    coasts on it between/through map-match observations
+    (docs/slam.md:200-214; hdl fuses FastLIO odometry + NDT + GPS) —
+    instead of the blind constant-velocity model, which loses the
+    vehicle wherever the map match goes ambiguous (figure-eight
+    crossing, GNSS dropout)."""
+    pts, wm, wc = _sigma_points(st.x, st.P, cfg)
+
+    def f(s):
+        p, q = s[0:3], so3.quat_normalize(s[6:10])
+        step_w = so3.quat_rotate(q, dtrans)
+        p_new = p + step_w
+        q_new = so3.quat_normalize(so3.quat_mul(q, dquat))
+        inv_dt = 1.0 / jnp.maximum(dt, 1e-3)
+        v_new = step_w * inv_dt
+        w_new = so3.rotvec_from_quat(dquat) * inv_dt
+        return (s.at[0:3].set(p_new).at[3:6].set(v_new)
+                .at[6:10].set(q_new).at[16:19].set(w_new))
+
+    pred = jax.vmap(f)(pts)
+    mean = _normalize_quat(jnp.einsum("i,ij->j", wm, pred))
+    d = pred - mean[None, :]
+    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    # odometry increments are cm-accurate: much tighter process noise
+    # than the const-velocity model on position/attitude
+    Qd = jnp.concatenate([jnp.full(3, 1e-4), jnp.full(3, cfg.q_vel),
+                          jnp.full(4, 1e-5), jnp.full(6, cfg.q_bias),
+                          jnp.full(3, cfg.q_angvel), jnp.full(4, cfg.q_mount)])
+    P = P + jnp.diag(Qd) * jnp.maximum(dt, 1e-3) + 1e-6 * jnp.eye(DIM)
+    return UkfState(x=mean, P=0.5 * (P + P.T))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+@mxu_f32
 def ukf_correct(st: UkfState, obs_pos: jax.Array, obs_quat: jax.Array,
                 cfg: UkfConfig = UkfConfig()) -> UkfState:
     """Observe [p, q] from the NDT matcher."""

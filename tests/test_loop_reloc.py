@@ -161,3 +161,81 @@ def test_ukf23_imu_mount_quat_rotates_rates():
     T_m = np.asarray(ukf_pose(st2))
     yaw_m = np.arctan2(T_m[1, 0], T_m[0, 0])
     assert abs(yaw_m) < 0.02   # z-rate no longer maps to yaw
+
+
+def test_ukf_predict_odom_composes_increment():
+    """ukf_predict_odom must move the state mean by exactly the
+    body-frame SE3 increment (the localization fusion's prediction,
+    ref docs/slam.md:200-214)."""
+    import jax.numpy as jnp
+    from lsd_tpu.geometry import np_so3
+    from lsd_tpu.slam.ukf import ukf_init, ukf_pose, ukf_predict_odom
+
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = np_so3.exp_so3([0.0, 0.0, 0.6])
+    T0[:3, 3] = [5.0, -2.0, 1.0]
+    st = ukf_init(jnp.asarray(T0))
+    dq = np_so3.matrix_to_quat(np_so3.exp_so3([0.0, 0.0, 0.1]))
+    dtr = np.asarray([0.5, 0.05, 0.0], np.float32)
+    st = ukf_predict_odom(st, jnp.asarray(dq, jnp.float32),
+                          jnp.asarray(dtr), jnp.asarray(0.1, jnp.float32))
+    T1 = np.asarray(ukf_pose(st))
+    T_exp = T0.copy()
+    dT = np.eye(4)
+    dT[:3, :3] = np_so3.quat_to_matrix(dq)
+    dT[:3, 3] = dtr
+    T_exp = T0 @ dT
+    # sigma-point mean of a nonlinear compose smooths ~cm at the
+    # initial covariance; exactness to that tolerance is the contract
+    np.testing.assert_allclose(T1[:3, 3], T_exp[:3, 3], atol=5e-2)
+    yaw1 = np.arctan2(T1[1, 0], T1[0, 0])
+    yaw_e = np.arctan2(T_exp[1, 0], T_exp[0, 0])
+    assert abs(yaw1 - yaw_e) < 2e-2
+    # velocity state reflects the increment rate
+    v = np.asarray(st.x[3:6])
+    np.testing.assert_allclose(np.linalg.norm(v),
+                               np.linalg.norm(dtr) / 0.1, rtol=0.05)
+
+
+def test_localizer_lio_increment_gating(tmp_path):
+    """The side-LIO increment source withholds convergence transients:
+    warm-up window, then a consistency gate against the filter's own
+    step magnitude."""
+    import jax.numpy as jnp
+    from lsd_tpu.sim import CircleSim, SimConfig
+    from lsd_tpu.slam import Localizer, LocalizerConfig, LioConfig, Mapper, MapperConfig
+
+    sim = CircleSim(SimConfig(radius=8.0, omega=0.8, n_scans=30,
+                              points_per_scan=2048, seed=5))
+    data = sim.generate(capacity=2048, imu_capacity=16)
+    m = Mapper(MapperConfig(lio=LioConfig(ds_capacity=1024,
+                                          map_capacity=2 ** 14,
+                                          scan_voxel=0.4, map_voxel=0.4),
+                            keyframe_delta_trans=1.5))
+    for k, (P, S, M, I, IM, _T) in enumerate(data[:25]):
+        m.process_scan(P, S, M, I, IM, stamp_us=int(k * 1e5))
+    map_dir = str(tmp_path / "map")
+    m.save(map_dir)
+
+    loc = Localizer(map_dir, LocalizerConfig(
+        use_lio_odometry=True,
+        lio=LioConfig(ds_capacity=1024, map_capacity=2 ** 14,
+                      scan_voxel=0.4, map_voxel=0.4, max_iters=2)))
+    outs = []
+    for k in range(14):
+        P, S, M, I, IM, _T = data[k]
+        outs.append(loc._lio_increment(np.asarray(P), np.asarray(S),
+                                       np.asarray(M), np.asarray(I),
+                                       np.asarray(IM)))
+    # warm-up: the first 10 increments are withheld
+    assert all(o is None for o in outs[:10])
+    assert any(o is not None for o in outs[10:])
+    got = next(o for o in outs[10:] if o is not None)
+    assert got[0].shape == (4,) and got[1].shape == (3,)
+    assert np.isfinite(got[0]).all() and np.isfinite(got[1]).all()
+    # consistency gate: a published-step magnitude wildly different
+    # from the increment causes a fallback (None)
+    loc._last_step_mag = 25.0
+    P, S, M, I, IM, _T = data[14]
+    assert loc._lio_increment(np.asarray(P), np.asarray(S), np.asarray(M),
+                              np.asarray(I), np.asarray(IM)) is None
