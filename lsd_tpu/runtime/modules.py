@@ -211,7 +211,9 @@ class SlamModule(Module):
             register_interface("slam.save_mapping", ed.start_save_mapping)
             register_interface("slam.get_save_progress", ed.get_save_progress)
         else:
-            self.engine = Localizer(cfg.slam.map_path, LocalizerConfig())
+            self.engine = Localizer(cfg.slam.map_path, LocalizerConfig(
+                use_lio_odometry=bool(getattr(cfg.slam, "lio_fusion",
+                                              False))))
             eng = self.engine
             register_interface("slam.set_init_pose", self._set_init_pose)
             register_interface("slam.get_estimate_pose",

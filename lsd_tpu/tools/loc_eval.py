@@ -26,7 +26,7 @@ import numpy as np
 def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
         speed: float = 5.0, points: int = 16384,
         dropout=(60.0, 120.0), out_root: str = "/tmp/lsd_loc_eval",
-        progress=print) -> Dict:
+        lio_fusion: bool = False, progress=print) -> Dict:
     from ..runtime import clear_interfaces
     from ..runtime.interface import call_interface
     from ..runtime.perception import Perception
@@ -73,6 +73,7 @@ def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
     cfg["input"]["data_path"] = rec["log_dir"]
     cfg["slam"]["mode"] = "localization"
     cfg["slam"]["map_path"] = map_dir
+    cfg["slam"]["lio_fusion"] = bool(lio_fusion)
     cfg["ins"]["use"] = True
     p.config_manager.set_config(cfg)
     p.setup()
@@ -185,6 +186,9 @@ def main(argv=None):
     ap.add_argument("--speed", type=float, default=5.0)
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--dropout", default="60:120")
+    ap.add_argument("--lio-fusion", action="store_true",
+                    help="enable the side-running LIO odometry fusion "
+                         "(LocalizerConfig.use_lio_odometry)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -199,7 +203,7 @@ def main(argv=None):
 
     d0, d1 = (float(x) for x in args.dropout.split(":"))
     report = run(args.map, args.laps, args.radius, args.speed, args.points,
-                 (d0, d1))
+                 (d0, d1), lio_fusion=args.lio_fusion)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as fh:
