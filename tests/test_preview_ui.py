@@ -34,9 +34,11 @@ class TestPreviewDom:
         assert m
         js = re.sub(r"//[^\n]*", "", m.group(1))
         js = re.sub(r"/\*.*?\*/", "", js, flags=re.S)
+        # template literals FIRST: they may contain quotes/braces that
+        # the naive quote-stripping would otherwise pair across strings
+        js = re.sub(r"`(?:[^`\\]|\\.)*`", "``", js)
         js = re.sub(r'"(?:[^"\\]|\\.)*"', '""', js)
         js = re.sub(r"'(?:[^'\\]|\\.)*'", "''", js)
-        js = re.sub(r"`(?:[^`\\]|\\.)*`", "``", js)
         for o, c in (("{", "}"), ("(", ")"), ("[", "]")):
             assert js.count(o) == js.count(c), f"unbalanced {o}{c}"
 
@@ -52,6 +54,20 @@ class TestPreviewDom:
             assert f'id="{eid}"' in src, eid
         assert "unprojectToGround" in src
         assert "/v1/roi" in src and "is_included" in src
+
+    def test_config_form_present(self):
+        """Structured per-field config form (ref components/config):
+        schema-driven renderer + typed leaf inputs + JSON round-trip."""
+        src = _read()
+        for eid in ("cfg-form", "cfg-mode"):
+            assert f'id="{eid}"' in src, eid
+        for fn in ("cfgRenderNode", "cfgLeafInput", "cfgFormRender",
+                   "cfgSet"):
+            assert fn in src, fn
+        # typed leaves: bool checkbox, number input, numeric-list text
+        for t in ("data-type=\"bool\"", "data-type=\"num\"",
+                  "data-type=\"numlist\""):
+            assert t.replace("\\", "") in src.replace("\\", ""), t
 
     def test_colormodes_and_overlays(self):
         src = _read()
