@@ -67,12 +67,16 @@ def run_tpu_lio(sim, data, warmup: int, **cfg_over):
         t0 = time.perf_counter()
         st, info = lio_step(cfg, st, jnp.asarray(P), jnp.asarray(S),
                             jnp.asarray(M), jnp.asarray(I), jnp.asarray(IM))
-        pose = np.asarray(jax.device_get(info["pose"]), float)
+        # ONE batched fetch per scan: separate fetches each cost a full
+        # tunnel round trip and dominate the timing (harness artifact,
+        # not step cost)
+        pose, n_deg = jax.device_get((info["pose"], info["n_degenerate"]))
+        pose = np.asarray(pose, float)
         if k >= warmup:
             t_used += time.perf_counter() - t0
             n_timed += 1
         poses.append(pose)
-        degen.append(int(jax.device_get(info["n_degenerate"])))
+        degen.append(int(n_deg))
     est = np.stack(poses)
     gt = np.stack([d[5] for d in data])
     return (_ate(est, gt, warmup), 1e3 * t_used / max(n_timed, 1),
