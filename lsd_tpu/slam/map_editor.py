@@ -189,6 +189,7 @@ class MapEditor:
         m = self.mapper
         m.flush()
         with m._graph_lock:
+            m._loop_target_cache.clear()     # cloud indices change
             self._del_vertex_locked(int(vid))
 
     def _del_vertex_locked(self, i: int) -> None:
@@ -233,6 +234,7 @@ class MapEditor:
     def del_points(self, index: Dict) -> None:
         """index: {vertex_id_str: [point indices]} (ref map-del-points)."""
         with self.mapper._graph_lock:
+            self.mapper._loop_target_cache.clear()   # clouds mutate
             for idx, point_idx in index.items():
                 i = int(idx)
                 kf = self.mapper.store[i]

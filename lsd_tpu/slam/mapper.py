@@ -137,6 +137,8 @@ class Mapper:
             sc=0, radius=0, travel=0, target=0, fitness=0, residual=0,
             correction=0, accepted=0)
         self.origin_lla: Optional[np.ndarray] = None
+        # LRU cache of loop-verification target maps (see _detect_loop)
+        self._loop_target_cache: Dict = {}
         self._kf_since_opt = 0
         # graph mutations happen on two threads under async_graph (main:
         # nodes/odom edges/priors; worker: loop edges + optimize)
@@ -413,19 +415,34 @@ class Mapper:
         ids = [i for i in range(max(cand - w, 0),
                                 min(cand + w, len(self.store) - 1) + 1)
                if abs(i - kid) > 2]
-        target = self.store.merged_cloud_relative(ids, cand,
-                                                  max_points=2 ** 16)
-        if len(target) < 1000:
-            self.loop_stats["target"] += 1
-            return None
-        cap = 1 << int(np.ceil(np.log2(max(len(target), 2))))
-        tgt_pad = np.zeros((cap, 3), np.float32)
-        tgt_pad[:len(target)] = target[:, :3]
-        tmask = np.zeros(cap, bool)
-        tmask[:len(target)] = True
-        m = surfel_create(capacity=cfg.loop_map_capacity,
-                          voxel_size=cfg.loop_map_voxel)
-        m = surfel_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
+        # cache the verification surfel map per (candidate, window):
+        # the odometry-rigid target is DETERMINISTIC (raw odometry never
+        # changes, clouds are immutable outside editor ops which clear
+        # the cache), and building+uploading it (~0.8 MB host->device)
+        # dominates the check's cost — loop bursts revisit nearby
+        # candidates within a few keyframes (LRU 8).
+        ck = (cand, ids[0], ids[-1])
+        m = self._loop_target_cache.get(ck)
+        if m is None:
+            target = self.store.merged_cloud_relative(ids, cand,
+                                                      max_points=2 ** 16)
+            if len(target) < 1000:
+                self.loop_stats["target"] += 1
+                return None
+            cap = 1 << int(np.ceil(np.log2(max(len(target), 2))))
+            tgt_pad = np.zeros((cap, 3), np.float32)
+            tgt_pad[:len(target)] = target[:, :3]
+            tmask = np.zeros(cap, bool)
+            tmask[:len(target)] = True
+            m = surfel_create(capacity=cfg.loop_map_capacity,
+                              voxel_size=cfg.loop_map_voxel)
+            m = surfel_insert(m, jnp.asarray(tgt_pad), jnp.asarray(tmask))
+            self._loop_target_cache[ck] = m
+            while len(self._loop_target_cache) > 8:
+                self._loop_target_cache.pop(
+                    next(iter(self._loop_target_cache)))
+        else:
+            self.loop_stats["target_cache_hits"] =                 self.loop_stats.get("target_cache_hits", 0) + 1
 
         src = kf.cloud[:, :3]
         scap = 1 << int(np.ceil(np.log2(max(len(src), 2))))
