@@ -386,7 +386,6 @@ class Localizer:
             # seed the side LIO's pose at the relocalized map pose so
             # its frame matches from here on (velocity re-converges)
             if getattr(self, "_lio_state", None) is not None:
-                from .state import init_state as _init_nav
                 self._lio_state = self._lio_state._replace(
                     nav=self._lio_state.nav._replace(
                         pos=jnp.asarray(T[:3, 3], jnp.float32),
