@@ -314,6 +314,9 @@ def main():
 
         loc_phases["ukf_predict"] = round(_time_phase(
             lambda: ukf_predict(ukf_st, dt_s)), 3)
+        loc_phases["ndt_align_15it_exact"] = round(_time_phase(
+            lambda: ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v,
+                              iters=15)), 3)
         loc_phases["ndt_align_15it_5search"] = round(_time_phase(
             lambda: ndt_align(ndt_map, loc_pts, loc_msk, q0, t0v,
                               iters=15, searches=5)), 3)
