@@ -278,14 +278,14 @@ def main():
     dt_s = jnp.asarray(0.1, jnp.float32)
     loc_args = (loc_pts, loc_msk, dt_s, z3, z3, z3,
                 jnp.asarray(False), jnp.asarray(4.0, jnp.float32))
-    st_l, T_l, m_l, f_l, ok_l = localize_track_step(
+    st_l, T_l, m_l, f_l, ok_l, _g, _d = localize_track_step(
         ukf_st, ndt_map, icp_map, *loc_args)
     _ = jax.device_get(T_l)
     # (a) single-step latency: fetch the pose every scan (online mode)
     t0 = time.perf_counter()
     st_i = ukf_st
     for _ in range(50):
-        st_i, T_l, m_l, f_l, ok_l = localize_track_step(
+        st_i, T_l, m_l, f_l, ok_l, _g, _d = localize_track_step(
             st_i, ndt_map, icp_map, *loc_args)
         _ = jax.device_get((T_l, m_l, ok_l))
     loc_ms = (time.perf_counter() - t0) / 50 * 1000
@@ -295,7 +295,7 @@ def main():
     st_i = ukf_st
     t0 = time.perf_counter()
     for _ in range(50):
-        st_i, T_l, m_l, f_l, ok_l = localize_track_step(
+        st_i, T_l, m_l, f_l, ok_l, _g, _d = localize_track_step(
             st_i, ndt_map, icp_map, *loc_args)
     _ = jax.device_get(T_l)
     loc_ms_pipe = (time.perf_counter() - t0) / 50 * 1000

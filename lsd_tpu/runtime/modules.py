@@ -213,7 +213,7 @@ class SlamModule(Module):
         else:
             self.engine = Localizer(cfg.slam.map_path, LocalizerConfig(
                 use_lio_odometry=bool(getattr(cfg.slam, "lio_fusion",
-                                              False))))
+                                              True))))
             eng = self.engine
             register_interface("slam.set_init_pose", self._set_init_pose)
             register_interface("slam.get_estimate_pose",

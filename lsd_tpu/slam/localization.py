@@ -44,6 +44,10 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
                         gps_var: jax.Array,
                         odom_dq: jax.Array = None,
                         odom_dt: jax.Array = None,
+                        gate_t: jax.Array = None,
+                        gate_ang: jax.Array = None,
+                        gps_gate: jax.Array = None,
+                        stamps: jax.Array = None,
                         ukf_cfg: UkfConfig = UkfConfig(),
                         has_imu: bool = False, has_odom: bool = False,
                         ndt_iters: int = 15, ndt_searches: int = 15,
@@ -59,6 +63,12 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
     (matched_frac / fitness thresholds) runs on-device via state
     selection so the miss bookkeeping on the host needs only the fetched
     scalars."""
+    if gate_t is None:
+        gate_t = jnp.asarray(1.0, jnp.float32)
+    if gate_ang is None:
+        gate_ang = jnp.asarray(np.deg2rad(10.0), jnp.float32)
+    if gps_gate is None:
+        gps_gate = jnp.asarray(2.5, jnp.float32)
     if has_odom:
         # LiDAR-inertial odometry increment drives the prediction (the
         # reference's localization fusion, docs/slam.md:200-214)
@@ -70,6 +80,21 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
     T_pred = ukf_pose(st_pred)
     q0 = so3.matrix_to_quat(T_pred[:3, :3])
     t0 = T_pred[:3, 3]
+    if stamps is not None:
+        # Motion undistortion to the scan-END instant with the predicted
+        # state's velocities (first-order: p += (w x p + v_b) * dt_i).
+        # The map stores undistorted keyframe clouds (lio_step
+        # points_und), but the r4 localizer matched the RAW sweep —
+        # at 5 m/s a 0.1 s sweep skews 0.5 m, which showed up as a
+        # ~0.24 m constant offset in the tracked pose (loc_diag r5).
+        # The reference feeds motion-compensated clouds to
+        # hdl_localization the same way (fastlio undistortion upstream).
+        v_body = T_pred[:3, :3].T @ st_pred.x[3:6]
+        w_body = st_pred.x[16:19]
+        t_end = jnp.max(jnp.where(mask, stamps, 0.0))
+        dt_i = (stamps - t_end)[:, None]
+        points = points + (jnp.cross(jnp.broadcast_to(w_body, points.shape),
+                                     points) + v_body) * dt_i
     q, t, ndt_info = ndt_align(ndt_map, points, mask, q0, t0,
                                iters=ndt_iters, searches=ndt_searches)
     q, t, icp_info = icp_point_to_plane(icp_map, points, mask, q, t,
@@ -78,14 +103,55 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
     matched = ndt_info["matched_frac"]
     fitness = icp_info["fitness"]
     ok = (matched > 0.15) & (fitness > 0.2)
+    if has_odom:
+        # Innovation gate vs the odometry-driven prediction.  With LIO
+        # increments the prediction is mm-accurate per frame, so a map
+        # match that lands far from it is an aliased branch of a
+        # self-similar map, not a correction: measured on the
+        # figure-eight world, the crossing region yields NDT/ICP
+        # convergence onto the 180-degree twin with matched_frac 0.77 —
+        # the quality gate alone cannot see it (r4 fusion eval: 69-deg
+        # heading excursions, meter-level flail, artifacts/
+        # EVAL_r04_loc_fusion.json).  The reference fuses odometry and
+        # NDT by covariance weighting (docs/slam.md:200-214,
+        # hdl_localization pose_estimator.cpp:64); an explicit gate is
+        # the robust equivalent when the odometry channel is this much
+        # stiffer than the map match.  The thresholds are traced
+        # scalars the HOST WIDENS with consecutive rejections: a fixed
+        # gate turns a transient offset into permanent rejection of
+        # correct matches (measured: 1.0 m fixed gate -> dead-reckoning
+        # 4-7 m drift through the dropout tail) — widening re-admits
+        # the map match once odometry alone has carried the filter
+        # beyond the base gate.
+        innov_t = jnp.linalg.norm(t - t0)
+        innov_ang = 2.0 * jnp.arccos(jnp.clip(
+            jnp.abs(jnp.sum(q * q0)), 0.0, 1.0))
+        ok = ok & (innov_t < gate_t) & (innov_ang < gate_ang)
+    else:
+        innov_t = jnp.linalg.norm(t - t0)
+        innov_ang = 2.0 * jnp.arccos(jnp.clip(
+            jnp.abs(jnp.sum(q * q0)), 0.0, 1.0))
     st_corr = ukf_correct(st_pred, t, q, ukf_cfg)
     st_new = UkfState(x=jnp.where(ok, st_corr.x, st_pred.x),
                       P=jnp.where(ok, st_corr.P, st_pred.P))
+    # GNSS innovation gate (both prediction models): a gross outlier fix
+    # (multipath; the sim world injects 5-15 m outliers at RTK status)
+    # entering ukf_correct_position at sigma 0.1 m yanks position AND
+    # heading through the position<->attitude cross-covariance — the
+    # measured trigger of the 130-deg heading excursions (loc_diag r5).
+    # Mapping mode has an equivalent ingest gate (runtime/modules.py
+    # ~5 m vs pose_ref); localization had none.
+    p_now = st_new.x[0:3]
+    gps_ok = gps_valid & (jnp.linalg.norm((gps_xyz - p_now)[:2]) < gps_gate)
     st_gps = ukf_correct_position(st_new, gps_xyz, gps_var)
-    st_new = UkfState(x=jnp.where(gps_valid, st_gps.x, st_new.x),
-                      P=jnp.where(gps_valid, st_gps.P, st_new.P))
+    st_new = UkfState(x=jnp.where(gps_ok, st_gps.x, st_new.x),
+                      P=jnp.where(gps_ok, st_gps.P, st_new.P))
     pose = ukf_pose(st_new)
-    return st_new, pose, matched, fitness, ok
+    # diagnostics rider (fetched in the same batched device_get):
+    # [innov_t, innov_ang, |gps innovation|]
+    diag = jnp.stack([innov_t, innov_ang,
+                      jnp.linalg.norm((gps_xyz - p_now)[:2])])
+    return st_new, pose, matched, fitness, ok, gps_ok, diag
 
 
 @dataclasses.dataclass
@@ -108,11 +174,12 @@ class LocalizerConfig:
     # full scans+IMU (ref: FastLIO keeps running during localization,
     # fused per docs/slam.md:200-214).  Falls back to IMU/const-velocity
     # prediction when inputs or the LIO step are unavailable.
-    # OPT-IN for now: the side LIO cold-starts mid-motion and its
-    # convergence transients need the warm-up/consistency gating below;
-    # end-to-end tuning on the campaign worlds is future work (the
-    # mechanism + gates are unit-tested).
-    use_lio_odometry: bool = False
+    # PRODUCTION DEFAULT since r5: the r4 meter-level "coasting drift"
+    # that kept this opt-in was root-caused to a quaternion double-cover
+    # bug in the UKF sigma-point moments (ukf._hemi_align) plus missing
+    # GNSS/NDT innovation gates — with those fixed the fused mode holds
+    # ~0.25 m / 0.6 deg through a 30 s GNSS dropout (loc_diag r5).
+    use_lio_odometry: bool = True
     lio: LioConfig = dataclasses.field(default_factory=lambda: LioConfig(
         ds_capacity=8192, map_capacity=2 ** 17,
         scan_voxel=0.4, map_voxel=0.4, max_iters=3))
@@ -327,9 +394,15 @@ class Localizer:
         # consistency vs the localizer's own recent step (published pose
         # delta): an unconverged/degenerate LIO reports near-zero or
         # runaway motion — fall back to const-velocity for that frame
-        exp = getattr(self, "_last_step_mag", None)
         mag = float(np.linalg.norm(dT[:3, 3]))
-        if exp is not None and abs(mag - exp) > max(0.5 * exp, 0.3):
+        if mag > 1.5:
+            # absolute sanity bound (15 m/s at 10 Hz): a runaway or
+            # divergent side filter must not drive the UKF.  The r4 gate
+            # compared against the PUBLISHED pose's step instead — which
+            # rejected mm-accurate increments exactly while the published
+            # pose flailed on an aliased map match, removing the one
+            # stabilising signal (loc_diag k=122-127: inc_used False with
+            # inc_et 0.001 m during the flail)
             return None
         dq = np_so3.matrix_to_quat(dT[:3, :3]).astype(np.float32)
         return dq, dT[:3, 3].astype(np.float32)
@@ -382,16 +455,13 @@ class Localizer:
             self.initialized = True
             self.last_stamp_us = stamp_us
             self._prev_pub = np.asarray(T, float).copy()
-            self._last_step_mag = None
-            # seed the side LIO's pose at the relocalized map pose so
-            # its frame matches from here on (velocity re-converges)
-            if getattr(self, "_lio_state", None) is not None:
-                self._lio_state = self._lio_state._replace(
-                    nav=self._lio_state.nav._replace(
-                        pos=jnp.asarray(T[:3, 3], jnp.float32),
-                        quat=so3.matrix_to_quat(
-                            jnp.asarray(T[:3, :3], jnp.float32))))
-                self._lio_prev = np.asarray(T, float).copy()
+            # The side LIO is deliberately NOT re-seeded at the map pose:
+            # its increments are body-frame relative transforms, which
+            # are invariant to its global frame, while overwriting
+            # nav.pos/quat leaves its internal surfel map (built in the
+            # old frame) inconsistent with the new pose — measured to
+            # triple the increment error for ~100 frames after each
+            # reloc (loc_diag: inc_et 0.0005 -> 0.02-0.03 post-reseed)
             return dict(pose=T, status="initialized")
 
         dt = max((stamp_us - self.last_stamp_us) / 1e6, 1e-3) if self.last_stamp_us else 0.1
@@ -400,8 +470,16 @@ class Localizer:
         # with a single small fetch — the r3 step paid 4 host syncs
         has_imu = imu_gyro is not None
         z3 = np.zeros(3, np.float32)
-        self.ukf, T_dev, matched_dev, fitness_dev, ok_dev = \
-            localize_track_step(
+        # adaptive innovation gates (see localize_track_step): base
+        # thresholds widen with consecutive rejections so a transient
+        # offset cannot lock the filter out of its own map match
+        misses = getattr(self, "_misses", 0)
+        gate_t = min(1.0 + 0.1 * misses, self.cfg.local_map_radius / 3)
+        gate_ang = np.deg2rad(min(10.0 + 1.0 * misses, 60.0))
+        gps_rej = getattr(self, "_gps_rej", 0)
+        gps_gate = min(2.5 + 0.5 * gps_rej, 30.0)
+        self.ukf, T_dev, matched_dev, fitness_dev, ok_dev, gps_ok_dev, \
+            diag_dev = localize_track_step(
                 self.ukf, self.ndt_map, self.icp_map,
                 jnp.asarray(points[:, :3]), jnp.asarray(mask),
                 jnp.asarray(dt, jnp.float32),
@@ -416,16 +494,38 @@ class Localizer:
                                     else [1.0, 0, 0, 0], jnp.float32),
                 odom_dt=jnp.asarray(inc[1] if inc is not None else z3,
                                     jnp.float32),
+                gate_t=jnp.asarray(gate_t, jnp.float32),
+                gate_ang=jnp.asarray(gate_ang, jnp.float32),
+                gps_gate=jnp.asarray(gps_gate, jnp.float32),
+                stamps=(jnp.asarray(stamps, jnp.float32)
+                        if stamps is not None else None),
                 ukf_cfg=self.cfg.ukf, has_imu=has_imu,
                 has_odom=inc is not None)
-        T, matched, track_ok = jax.device_get((T_dev, matched_dev, ok_dev))
+        T, matched, track_ok, gps_ok, step_diag = jax.device_get(
+            (T_dev, matched_dev, ok_dev, gps_ok_dev, diag_dev))
         T = np.asarray(T, float)
         matched = float(matched)
+        self.last_step_diag = dict(
+            innov_t=float(step_diag[0]),
+            innov_ang_deg=float(np.degrees(step_diag[1])),
+            gps_innov=float(step_diag[2]), gate_t=gate_t,
+            gate_ang_deg=float(np.degrees(gate_ang)),
+            track_ok=bool(track_ok), gps_ok=bool(gps_ok))
+        if gps_xyz is not None:
+            self._gps_rej = 0 if bool(gps_ok) else gps_rej + 1
         if bool(track_ok):
             self._misses = 0
         else:
             self._misses = getattr(self, "_misses", 0) + 1
-            if self._misses >= self.cfg.lost_after_misses:
+            # odometry-backed coasting tolerates far more rejected map
+            # matches before declaring lost: with LIO increments driving
+            # prediction at ~1 mm/frame error the filter dead-reckons
+            # safely through an ambiguous region (the reference likewise
+            # coasts on FastLIO odometry, docs/slam.md:200-214), whereas
+            # const-velocity prediction runs away quadratically
+            lost_after = (self.cfg.lost_after_misses * 6
+                          if inc is not None else self.cfg.lost_after_misses)
+            if self._misses >= lost_after:
                 # tracking lost: back to global relocalization (ref
                 # fallback chain) rather than dead-reckoning away
                 self.initialized = False
@@ -466,9 +566,5 @@ class Localizer:
                 self._build_local_map(T[:3, 3])
             else:
                 self._misses = getattr(self, "_misses", 0) + 1
-        prev = getattr(self, "_prev_pub", None)
-        if prev is not None:
-            self._last_step_mag = float(
-                np.linalg.norm(T[:3, 3] - prev[:3, 3]))
         self._prev_pub = T.copy()
         return dict(pose=T, status="tracking", matched_frac=matched)

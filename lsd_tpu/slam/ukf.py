@@ -79,6 +79,40 @@ def _normalize_quat(x):
     return x.at[..., 6:10].set(q).at[..., 19:23].set(qm)
 
 
+def _hemi_align(Q):
+    """Flip each row of (S, 4) onto the hemisphere of row 0.
+
+    quat_normalize canonicalizes the sign to w >= 0, so propagated sigma
+    points whose w component straddles zero (yaw near 180 deg) come back
+    on OPPOSITE sides of the quaternion double cover; the linear
+    mean/covariance then measures the ~2|q| artificial spread and the
+    attitude covariance explodes (measured: |P_quat| 6e-5 -> 0.6 in
+    three frames at the figure-eight's yaw-crossing, which is the root
+    of the r4 localization heading excursions).  Aligning hemispheres
+    before the moment computation removes the artifact; the covariance
+    is invariant under a global sign flip, so the returned state can
+    still be canonicalized."""
+    s = jnp.where(jnp.einsum("sj,j->s", Q, Q[0]) < 0, -1.0, 1.0)
+    return Q * s[:, None]
+
+
+def _sigma_moments(pred, wm, wc):
+    """Mean + covariance of propagated sigma points with double-cover-
+    safe quaternion handling: hemisphere-align, magnitude-normalize the
+    mean (no sign canonicalization — that would flip the mean off the
+    aligned rows), moments, THEN canonicalize the returned mean."""
+    pred = pred.at[:, 6:10].set(_hemi_align(pred[:, 6:10]))
+    pred = pred.at[:, 19:23].set(_hemi_align(pred[:, 19:23]))
+    mean = jnp.einsum("i,ij->j", wm, pred)
+    nq = jnp.linalg.norm(mean[6:10])
+    nm = jnp.linalg.norm(mean[19:23])
+    mean = mean.at[6:10].mul(1.0 / jnp.maximum(nq, 1e-9))
+    mean = mean.at[19:23].mul(1.0 / jnp.maximum(nm, 1e-9))
+    d = pred - mean[None, :]
+    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    return _normalize_quat(mean), P
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 @mxu_f32
 def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
@@ -114,9 +148,7 @@ def ukf_predict(st: UkfState, dt: jax.Array, cfg: UkfConfig = UkfConfig(),
                 .at[6:10].set(q_new).at[16:19].set(w_new))
 
     pred = jax.vmap(f)(pts)
-    mean = _normalize_quat(jnp.einsum("i,ij->j", wm, pred))
-    d = pred - mean[None, :]
-    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    mean, P = _sigma_moments(pred, wm, wc)
     Qd = jnp.concatenate([jnp.full(3, cfg.q_pos), jnp.full(3, cfg.q_vel),
                           jnp.full(4, cfg.q_quat), jnp.full(6, cfg.q_bias),
                           jnp.full(3, cfg.q_angvel), jnp.full(4, cfg.q_mount)])
@@ -153,9 +185,7 @@ def ukf_predict_odom(st: UkfState, dquat: jax.Array, dtrans: jax.Array,
                 .at[6:10].set(q_new).at[16:19].set(w_new))
 
     pred = jax.vmap(f)(pts)
-    mean = _normalize_quat(jnp.einsum("i,ij->j", wm, pred))
-    d = pred - mean[None, :]
-    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    mean, P = _sigma_moments(pred, wm, wc)
     # odometry increments are cm-accurate: much tighter process noise
     # than the const-velocity model on position/attitude
     Qd = jnp.concatenate([jnp.full(3, 1e-4), jnp.full(3, cfg.q_vel),
@@ -178,6 +208,12 @@ def ukf_correct(st: UkfState, obs_pos: jax.Array, obs_quat: jax.Array,
         return jnp.concatenate([s[0:3], so3.quat_normalize(s[6:10])])
 
     Z = jax.vmap(h)(pts)
+    # hemisphere-align the observation quats (same double-cover hazard
+    # as _sigma_moments: quat_normalize sign-canonicalizes, and sigma
+    # points straddling w=0 land on opposite covers)
+    Z = Z.at[:, 3:7].set(_hemi_align(Z[:, 3:7]))
+    obs_quat = jnp.where(jnp.dot(obs_quat, Z[0, 3:7]) < 0,
+                         -obs_quat, obs_quat)
     z_mean = jnp.einsum("i,ij->j", wm, Z)
     dz = Z - z_mean[None, :]
     dx = pts - st.x[None, :]

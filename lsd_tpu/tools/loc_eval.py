@@ -26,7 +26,7 @@ import numpy as np
 def run(map_dir: str, laps: float = 1.2, radius: float = 30.0,
         speed: float = 5.0, points: int = 16384,
         dropout=(60.0, 120.0), out_root: str = "/tmp/lsd_loc_eval",
-        lio_fusion: bool = False, progress=print) -> Dict:
+        lio_fusion: bool = True, progress=print) -> Dict:
     from ..runtime import clear_interfaces
     from ..runtime.interface import call_interface
     from ..runtime.perception import Perception
@@ -186,20 +186,31 @@ def main(argv=None):
     ap.add_argument("--speed", type=float, default=5.0)
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--dropout", default="60:120")
-    ap.add_argument("--lio-fusion", action="store_true",
-                    help="enable the side-running LIO odometry fusion "
-                         "(LocalizerConfig.use_lio_odometry)")
+    ap.add_argument("--lio-fusion", dest="lio_fusion", action="store_true",
+                    default=True,
+                    help="side-running LIO odometry fusion (production "
+                         "default since r5)")
+    ap.add_argument("--no-lio-fusion", dest="lio_fusion",
+                    action="store_false",
+                    help="const-velocity/IMU prediction instead")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (the axon sitecustomize "
+                         "ignores JAX_PLATFORMS; config must be set "
+                         "before backend init)")
     args = ap.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/lsd_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    from ..utils.device import keep_session_alive
-    keep_session_alive()
+    if not args.cpu:
+        from ..utils.device import keep_session_alive
+        keep_session_alive()
 
     d0, d1 = (float(x) for x in args.dropout.split(":"))
     report = run(args.map, args.laps, args.radius, args.speed, args.points,

@@ -132,6 +132,61 @@ def test_ukf23_coasts_rotation():
     assert abs(yaw - 0.5) < 0.1, yaw
 
 
+def test_ukf_no_double_cover_blowup_at_yaw_180():
+    """Regression (r5): quat_normalize sign-canonicalizes to w >= 0, so
+    sigma points straddling w = 0 (yaw near 180 deg) used to come back
+    on opposite quaternion covers and the linear moment computation
+    measured a ~2|q| artificial spread — |P_quat| exploded 6e-5 -> 0.6
+    within three frames at the figure-eight yaw crossing and the
+    tracked heading flailed tens of degrees (the r4 localization
+    heading-excursion root cause).  _hemi_align must keep P_quat tiny
+    through many predict/correct rounds at that exact attitude."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lsd_tpu.geometry import so3
+    from lsd_tpu.slam.ukf import (UkfConfig, UkfState, ukf_correct,
+                                  ukf_correct_position, ukf_init, ukf_pose,
+                                  ukf_predict, ukf_predict_odom)
+
+    yaw = np.pi - 1e-3                      # w component ~5e-4
+    T = np.eye(4)
+    T[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    st = ukf_init(jnp.asarray(T, jnp.float32))
+    dq = jnp.asarray(so3.quat_from_rotvec(jnp.asarray([0.0, 0.0, 0.0005])))
+    dtr = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)
+    dt = jnp.asarray(0.1, jnp.float32)
+    q_obs = jnp.asarray(so3.matrix_to_quat(jnp.asarray(T[:3, :3],
+                                                       jnp.float32)))
+    for k in range(25):
+        st = ukf_predict_odom(st, dq, dtr, dt, UkfConfig())
+        st = ukf_correct(st, st.x[0:3], q_obs, UkfConfig())
+        st = ukf_correct_position(st, st.x[0:3],
+                                  jnp.asarray(0.01, jnp.float32))
+        # at yaw ~ 180 deg a yaw spread lands almost entirely in the w
+        # component (dw/dyaw ~ 0.5), so allow the honest covariance;
+        # the double-cover bug measured 0.6 here
+        Pq = np.abs(np.asarray(st.P)[6:10, 6:10]).max()
+        assert Pq < 5e-2, (k, Pq)
+        Tk = np.asarray(ukf_pose(st))
+        yaw_err = np.degrees(np.arctan2(Tk[1, 0], Tk[0, 0]) - yaw)
+        yaw_err = (yaw_err + 180.0) % 360.0 - 180.0
+        assert abs(yaw_err) < 3.0, (k, yaw_err)
+    # const-velocity branch crosses the boundary too (w state turns it)
+    st = ukf_init(jnp.asarray(T, jnp.float32))
+    st = st._replace(x=st.x.at[16:19].set(jnp.asarray([0.0, 0.0, 0.3])))
+    for k in range(20):
+        st = ukf_predict(st, dt, UkfConfig())
+        Pq = np.abs(np.asarray(st.P)[6:10, 6:10]).max()
+        assert Pq < 5e-2, (k, Pq)
+    Tk = np.asarray(ukf_pose(st))
+    yaw_err = np.degrees(np.arctan2(Tk[1, 0], Tk[0, 0]) - (yaw + 0.3 * 2.0))
+    yaw_err = (yaw_err + 180.0) % 360.0 - 180.0
+    # unscented-mean shrinkage under the growing angular-velocity spread
+    # biases a long open-loop coast a few degrees — inherent to the UT,
+    # bounded here; the double-cover bug produced tens of degrees
+    assert abs(yaw_err) < 8.0, yaw_err
+
+
 def test_ukf23_imu_mount_quat_rotates_rates():
     """Gyro rates pass through the IMU mount quaternion before
     integrating attitude."""
@@ -199,8 +254,10 @@ def test_ukf_predict_odom_composes_increment():
 
 def test_localizer_lio_increment_gating(tmp_path):
     """The side-LIO increment source withholds convergence transients:
-    warm-up window, then a consistency gate against the filter's own
-    step magnitude."""
+    warm-up window, then an absolute runaway bound on the increment
+    magnitude (the r4 published-step consistency gate was measured to
+    reject mm-accurate increments exactly while the published pose
+    flailed on an aliased map match — see loc_diag r5)."""
     import jax.numpy as jnp
     from lsd_tpu.sim import CircleSim, SimConfig
     from lsd_tpu.slam import Localizer, LocalizerConfig, LioConfig, Mapper, MapperConfig
@@ -233,9 +290,11 @@ def test_localizer_lio_increment_gating(tmp_path):
     got = next(o for o in outs[10:] if o is not None)
     assert got[0].shape == (4,) and got[1].shape == (3,)
     assert np.isfinite(got[0]).all() and np.isfinite(got[1]).all()
-    # consistency gate: a published-step magnitude wildly different
-    # from the increment causes a fallback (None)
-    loc._last_step_mag = 25.0
+    # runaway bound: a previous-pose bookkeeping jump makes the apparent
+    # increment huge (>1.5 m per frame) -> withheld for that frame
+    jump = np.eye(4)
+    jump[:3, 3] = [25.0, 0.0, 0.0]
+    loc._lio_prev = loc._lio_prev @ jump
     P, S, M, I, IM, _T = data[14]
     assert loc._lio_increment(np.asarray(P), np.asarray(S), np.asarray(M),
                               np.asarray(I), np.asarray(IM)) is None
