@@ -442,12 +442,17 @@ class SlamModule(Module):
                         90.0 - float(ins.get("heading") or 0.0)))
                 # measurement variance from fix quality (ref slam.cpp
                 # status priority -> covariance-weighted LIO/GPS fusion,
-                # docs/slam.md:200-214): RTK-fix sigma 0.1 m, float
-                # 0.5 m, single 2 m.  A hardcoded weak variance let the
-                # NDT tracker slide onto an aliased branch of a
-                # self-similar world faster than GNSS could pull it back
-                # (r4 loc_eval diagnosis).
-                gps_var = {42: 0.01, 52: 0.25}.get(
+                # docs/slam.md:200-214): RTK-fix sigma 0.5 m, float 1 m,
+                # single 2 m.  In localization mode the map match is the
+                # cm-accurate absolute source and GNSS is the
+                # divergence guard + reloc arbiter; weighting RTK at
+                # sigma 0.1 m dragged the tracked pose onto the fix
+                # noise (r5 loc_diag: GNSS-era RMSE 0.14 m vs 0.05 m in
+                # the dropout window; at sigma 0.5 m the full stream
+                # holds 0.04/0.07 m).  The aliased-branch hazard that
+                # motivated the r4 tight weighting is now handled by
+                # the innovation gates + INS-heading watchdog instead.
+                gps_var = {42: 0.25, 52: 1.0}.get(
                     int(ins.get("Status", 0)), 4.0)
             # full scan stamps + IMU batch feed the localizer's
             # side-running LIO odometry (relative times like mapping)

@@ -408,26 +408,32 @@ class FigureEightSim(CircleSim):
                     Ve=float(vel[0]), Vn=float(vel[1]), Vu=0.0,
                     Status=42, Sensor="SimGNSS")
 
+    def _lap_length(self) -> float:
+        return 4.0 * np.pi * self.cfg.radius
+
     def duration(self) -> float:
         cfg = self.cfg
-        L = 4.0 * np.pi * cfg.radius * self.laps
+        L = self._lap_length() * self.laps
         return cfg.rest_time + cfg.ramp_time + L / cfg.speed
 
     def _build_world(self) -> np.ndarray:
         cfg = self.cfg
         rng = self.rng
-        R = cfg.radius
-        x_lo, x_hi = -2 * R - 30.0, 2 * R + 30.0
-        y_lo, y_hi = -R - 30.0, R + 30.0
+        # world bounds follow the track (generic over _track_state so
+        # subclasses with other routes reuse the same town generator;
+        # for the figure-eight these evaluate to the original
+        # +-(2R+30) x +-(R+30) box bit-for-bit)
+        L = self._lap_length()
+        svals = np.linspace(0.0, L, 400)
+        path = np.stack([self._track_state(s)[0] for s in svals])
+        x_lo, x_hi = path[:, 0].min() - 30.0, path[:, 0].max() + 30.0
+        y_lo, y_hi = path[:, 1].min() - 30.0, path[:, 1].max() + 30.0
         pts = []
         # ground
         n_g = 700000
         gx = rng.uniform(x_lo, x_hi, n_g)
         gy = rng.uniform(y_lo, y_hi, n_g)
         pts.append(np.stack([gx, gy, np.zeros(n_g)], axis=1))
-        # path samples for wall exclusion
-        svals = np.linspace(0.0, 4 * np.pi * R, 400)
-        path = np.stack([self._track_state(s)[0] for s in svals])
         # building wall patches on a jittered grid, off the track
         step = 16.0
         for cx in np.arange(x_lo + 8, x_hi - 8, step):
@@ -445,7 +451,7 @@ class FigureEightSim(CircleSim):
                            + z[:, None] * np.array([0.0, 0.0, 1.0]))
         # pillars near the track for close-range constraint
         for _ in range(120):
-            s = rng.uniform(0, 4 * np.pi * R)
+            s = rng.uniform(0, L)
             p2, head, _ = self._track_state(s)
             normal = np.array([-head[1], head[0]])
             side = rng.choice([-1.0, 1.0]) * rng.uniform(5.0, 12.0)
@@ -458,3 +464,66 @@ class FigureEightSim(CircleSim):
             pts.append(c + u[:, None] * t_dir
                        + z[:, None] * np.array([0.0, 0.0, 1.0]))
         return np.concatenate(pts, axis=0).astype(np.float64)
+
+
+class RouteSim(FigureEightSim):
+    """Rounded-rectangle route (asymmetric W x H, corner radius rc)
+    through the same jittered-grid town — the DISTINCTIVE-WORLD
+    localization eval (VERDICT r4 #2).
+
+    The figure-eight is deliberately adversarial: its crossing admits
+    near-symmetric aliased map-match hypotheses, so localization errors
+    there cannot be attributed between world pathology and filter
+    quality.  This route has no self-similar twin branch (W != H, four
+    distinct corner neighborhoods in an irregular building grid), which
+    matches the regime of the reference's published localization table
+    (docs/slam.md:217-233: a distinctive outdoor map, RTK ground
+    truth).  GNSS defaults stay at the constructor's (callers pass
+    clean continuous RTK for the reference-comparable row).
+    """
+
+    def __init__(self, cfg: SimConfig, width: float = 120.0,
+                 height: float = 60.0, corner: float = 15.0, **kw):
+        self.W, self.H, self.rc = float(width), float(height), float(corner)
+        super().__init__(cfg, **kw)
+
+    def _lap_length(self) -> float:
+        W, H, rc = self.W, self.H, self.rc
+        return 2.0 * (W - 2 * rc) + 2.0 * (H - 2 * rc) + 2.0 * np.pi * rc
+
+    def _track_state(self, s: float):
+        W, H, rc = self.W, self.H, self.rc
+        hw, hh = W / 2.0, H / 2.0
+        arc = np.pi * rc / 2.0
+        segs = [W - 2 * rc, arc, H - 2 * rc, arc,
+                W - 2 * rc, arc, H - 2 * rc, arc]
+        u = s % self._lap_length()
+        i = 0
+        while i < 7 and u > segs[i]:
+            u -= segs[i]
+            i += 1
+
+        def corner_state(a, cx, cy):
+            pos = np.array([cx + rc * np.cos(a), cy + rc * np.sin(a)])
+            head = np.array([-np.sin(a), np.cos(a)])
+            return pos, head, 1.0 / rc
+
+        if i == 0:      # bottom edge, heading +x
+            return (np.array([-hw + rc + u, -hh]),
+                    np.array([1.0, 0.0]), 0.0)
+        if i == 1:      # bottom-right corner (CCW quarter arc)
+            return corner_state(-np.pi / 2 + u / rc, hw - rc, -hh + rc)
+        if i == 2:      # right edge, +y
+            return (np.array([hw, -hh + rc + u]),
+                    np.array([0.0, 1.0]), 0.0)
+        if i == 3:      # top-right corner
+            return corner_state(u / rc, hw - rc, hh - rc)
+        if i == 4:      # top edge, -x
+            return (np.array([hw - rc - u, hh]),
+                    np.array([-1.0, 0.0]), 0.0)
+        if i == 5:      # top-left corner
+            return corner_state(np.pi / 2 + u / rc, -hw + rc, hh - rc)
+        if i == 6:      # left edge, -y
+            return (np.array([-hw, hh - rc - u]),
+                    np.array([0.0, -1.0]), 0.0)
+        return corner_state(np.pi + u / rc, -hw + rc, -hh + rc)

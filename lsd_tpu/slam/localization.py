@@ -35,7 +35,9 @@ from .ukf import (UkfConfig, UkfState, ukf_correct, ukf_correct_position,
 @functools.partial(jax.jit, static_argnames=("ukf_cfg", "has_imu",
                                              "has_odom",
                                              "ndt_iters", "ndt_searches",
-                                             "icp_iters", "icp_searches"))
+                                             "icp_iters", "icp_searches",
+                                             "track_voxel",
+                                             "track_capacity"))
 @mxu_f32
 def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
                         points: jax.Array, mask: jax.Array, dt: jax.Array,
@@ -51,7 +53,8 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
                         ukf_cfg: UkfConfig = UkfConfig(),
                         has_imu: bool = False, has_odom: bool = False,
                         ndt_iters: int = 15, ndt_searches: int = 15,
-                        icp_iters: int = 6, icp_searches: int = 2):
+                        icp_iters: int = 6, icp_searches: int = 2,
+                        track_voxel: float = 0.0, track_capacity: int = 8192):
     """ONE fused localization tracking step: UKF predict -> NDT match ->
     ICP refine -> gated UKF pose correct -> optional GNSS position
     correct, as a single XLA program with a single small output fetch.
@@ -95,6 +98,20 @@ def localize_track_step(ukf_st: UkfState, ndt_map, icp_map,
         dt_i = (stamps - t_end)[:, None]
         points = points + (jnp.cross(jnp.broadcast_to(w_body, points.shape),
                                      points) + v_body) * dt_i
+    if track_voxel > 0.0 and track_capacity < points.shape[0]:
+        # voxel-downsample the tracking scan before the matchers: the
+        # NDT runs at ~1 m voxels and the ICP against 0.5 m surfels, so
+        # a 32k sweep carries ~4x redundant points per cell; the
+        # association gathers (hash probe + per-point Gaussian loads)
+        # dominate the step cost (BENCH r4: 24.7 ms of a 35.6 ms
+        # pipelined step) and scale linearly with N.  ndt_omp likewise
+        # voxel-filters its input cloud (reference hdl_localization
+        # pipeline).  Accuracy parity at 0.4 m leaf measured in
+        # loc_diag (EVAL r5).
+        from ..ops.voxelize import voxel_downsample
+        points, mask = voxel_downsample(points, mask, track_voxel,
+                                        track_capacity)
+        points = points[:, :3]
     q, t, ndt_info = ndt_align(ndt_map, points, mask, q0, t0,
                                iters=ndt_iters, searches=ndt_searches)
     q, t, icp_info = icp_point_to_plane(icp_map, points, mask, q, t,
@@ -160,6 +177,17 @@ class LocalizerConfig:
     ndt_capacity: int = 2 ** 16
     local_map_radius: float = 45.0
     update_map_every: float = 5.0    # recentre local map after this travel (m)
+    # tracking-scan voxel downsample before the NDT/ICP matchers (the
+    # association gathers dominate the step; ndt_omp also voxel-filters
+    # its input).  0 disables.
+    track_voxel: float = 0.4
+    track_capacity: int = 8192
+    # NDT association rebuilds per step.  15 = exact classic NDT (every
+    # iteration); with the LIO-odometry prediction the prior is mm-scale
+    # so the voxel assignment is stable and fewer searches measure
+    # accuracy-neutral (loc_diag r5); reloc still uses exact settings.
+    ndt_searches: int = 15
+    ndt_searches_odom: int = 4
     reloc_sc_thresh: float = 0.35
     reloc_fitness_thresh: float = 0.4
     # tracking-lost fallback (ref slam.cpp:440-455 fallback chain +
@@ -500,7 +528,12 @@ class Localizer:
                 stamps=(jnp.asarray(stamps, jnp.float32)
                         if stamps is not None else None),
                 ukf_cfg=self.cfg.ukf, has_imu=has_imu,
-                has_odom=inc is not None)
+                has_odom=inc is not None,
+                ndt_searches=(self.cfg.ndt_searches_odom
+                              if inc is not None
+                              else self.cfg.ndt_searches),
+                track_voxel=self.cfg.track_voxel,
+                track_capacity=self.cfg.track_capacity)
         T, matched, track_ok, gps_ok, step_diag = jax.device_get(
             (T_dev, matched_dev, ok_dev, gps_ok_dev, diag_dev))
         T = np.asarray(T, float)

@@ -44,7 +44,7 @@ def _prep_inputs(d, frame, eng):
                               float(ins.get("altitude", 0.0)))
         if ins.get("heading") is not None:
             ins_yaw = float(np.deg2rad(90.0 - float(ins.get("heading") or 0.0)))
-        gps_var = {42: 0.01, 52: 0.25}.get(int(ins.get("Status", 0)), 4.0)
+        gps_var = {42: 0.25, 52: 1.0}.get(int(ins.get("Status", 0)), 4.0)
     imu_rel = imu_mask_l = None
     if frame.imu is not None:
         imu_rel = np.asarray(frame.imu.data, np.float64).copy()
