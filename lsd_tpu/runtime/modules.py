@@ -329,6 +329,11 @@ class SlamModule(Module):
                         self.engine.origin_lla = np.asarray(
                             [float(ins["latitude"]), float(ins["longitude"]),
                              float(ins.get("altitude", 0.0))])
+                        # pair the origin with its MAP-FRAME position so
+                        # saved maps can project fixes even when the map
+                        # frame is not anchored at the origin fix
+                        self.engine.origin_anchor_xyz = np.asarray(
+                            pose_ref[:3, 3], float).copy()
                     # anchor the GNSS frame to the MAP frame at the first
                     # accepted fix: the prior for that fix lands exactly on
                     # the current SLAM pose, and later fixes are offsets

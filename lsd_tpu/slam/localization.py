@@ -225,6 +225,9 @@ class Localizer:
             self.store.add(Keyframe(id=i, stamp_us=s, pose=T, odom=T, cloud=c,
                                     images=im))
         self.origin = data["origin"]
+        self.origin_anchor = np.asarray(
+            (data.get("meta") or {}).get("origin_anchor_xyz",
+                                         [0.0, 0.0, 0.0]), float)
         # visual (ORB) relocalization DB over keyframe images, when present
         self.visual_db = None
         try:
@@ -330,9 +333,11 @@ class Localizer:
         self.map_center = np.asarray(center, float).copy()
 
     # ------------------------------------------------------------------
-    def _relocalize(self, points, mask, image=None) -> Optional[np.ndarray]:
-        """Hint / ScanContext / ORB-visual -> ICP verify -> initial pose
-        (ref global_localization.cpp dual SC+ORB threads)."""
+    def _relocalize(self, points, mask, image=None, gps_xyz=None,
+                    ins_yaw=None) -> Optional[np.ndarray]:
+        """Hint / ScanContext / ORB-visual / GNSS-seeded -> ICP verify ->
+        initial pose (ref global_localization.cpp dual SC+ORB threads +
+        setInitPoseRange GPS seeding)."""
         cand_pose = None
         yaw0 = 0.0
         if self.init_hint is not None:
@@ -348,6 +353,27 @@ class Localizer:
                 hits = self.visual_db.query(image)
                 if hits:
                     cand_pose = self.store[hits[0][0]].pose
+            if cand_pose is None and gps_xyz is not None:
+                # GNSS-seeded candidate: ScanContext is genuinely
+                # ambiguous along long straight stretches (every
+                # descriptor looks alike); a current fix bounds the
+                # position and the INS heading (or the nearest
+                # keyframe's yaw) seeds the attitude, exactly the
+                # reference's GPS-range reloc (setInitPoseRange ->
+                # global_localization.cpp)
+                ids = self.store.within_radius(
+                    np.asarray(gps_xyz, float), 20.0)
+                if ids:
+                    pos = self.store.positions()
+                    near = min(ids, key=lambda i: np.linalg.norm(
+                        pos[i, :2] - np.asarray(gps_xyz)[:2]))
+                    T0 = np.asarray(self.store[near].pose, float).copy()
+                    T0[:3, 3] = np.asarray(gps_xyz, float)
+                    T0[2, 3] = pos[near, 2]       # keep the map's height
+                    if ins_yaw is not None:
+                        T0[:3, :3] = np_so3.rpy_to_matrix(
+                            0.0, 0.0, float(ins_yaw))
+                    cand_pose = T0
             if cand_pose is None:
                 return None
         # verify + refine with ICP against the neighborhood map
@@ -380,7 +406,13 @@ class Localizer:
     def project_fix(self, lat: float, lon: float,
                     alt: float = 0.0) -> Optional[np.ndarray]:
         """GNSS fix -> map-frame xyz via the map's saved origin anchor
-        (graph/map_info.txt)."""
+        (graph/map_info.txt + map_meta.json origin_anchor_xyz).
+
+        The anchor is the MAP-FRAME position of the origin fix: a map
+        whose frame does not start at (0,0,0) at that fix (session
+        seeded mid-world, merged maps) would otherwise offset every
+        projected fix by the anchor — a constant 45 m error on the
+        route eval world (r5)."""
         if self.origin is None or np.size(self.origin) < 2:
             return None
         from ..geometry.utm import latlon_to_utm
@@ -388,7 +420,8 @@ class Localizer:
         x0, y0, zone = latlon_to_utm(o[0], o[1])
         x, y, _ = latlon_to_utm(lat, lon, zone)
         alt0 = o[2] if o.size > 2 else 0.0
-        return np.asarray([x - x0, y - y0, alt - alt0], np.float32)
+        a = np.asarray(self.origin_anchor, np.float32)
+        return a + np.asarray([x - x0, y - y0, alt - alt0], np.float32)
 
     def _lio_increment(self, points, stamps, mask, imu, imu_mask):
         """Advance the side-running LIO; returns (dq, dtrans) — the
@@ -458,7 +491,8 @@ class Localizer:
             return abs((a - b + np.pi) % (2 * np.pi) - np.pi)
 
         if not self.initialized:
-            T = self._relocalize(points, mask, image=image)
+            T = self._relocalize(points, mask, image=image,
+                                 gps_xyz=gps_xyz, ins_yaw=ins_yaw)
             if T is not None and gps_xyz is not None and \
                     np.linalg.norm(T[:2, 3] - np.asarray(gps_xyz)[:2]) > 20.0:
                 # GNSS consistency gate on the reloc hypothesis: in

@@ -391,7 +391,9 @@ class MapEditor:
                    for (i, j, q, t, si) in m.graph.se3],
             fixed=[i for i, f in enumerate(m.graph.fixed) if f],
             origin=(m.origin_lla if m.origin_lla is not None
-                    else np.zeros(3)))
+                    else np.zeros(3)),
+            anchor=(None if m.origin_anchor_xyz is None else
+                    [float(v) for v in np.asarray(m.origin_anchor_xyz).flat]))
 
         def run():
             from .map_io import (save_g2o, save_keyframe, save_odometry)
@@ -401,8 +403,11 @@ class MapEditor:
             np.savetxt(os.path.join(graph_dir, "map_info.txt"),
                        np.asarray(snapshot["origin"], float).reshape(-1),
                        fmt="%1.10f")
+            meta = {"area": self.meta["area"]}
+            if snapshot["anchor"] is not None:
+                meta["origin_anchor_xyz"] = snapshot["anchor"]
             with open(os.path.join(graph_dir, "map_meta.json"), "w") as f:
-                json.dump({"area": self.meta["area"]}, f)
+                json.dump(meta, f)
             save_odometry(graph_dir, snapshot["stamps"], snapshot["poses"])
             save_g2o(graph_dir, snapshot["poses"], snapshot["edges"],
                      snapshot["fixed"])

@@ -137,6 +137,13 @@ class Mapper:
             sc=0, radius=0, travel=0, target=0, fitness=0, residual=0,
             correction=0, accepted=0)
         self.origin_lla: Optional[np.ndarray] = None
+        # MAP-FRAME position paired with origin_lla: the map frame is not
+        # necessarily anchored at (0,0,0) at the origin fix (a session
+        # seeded/relocalized mid-map starts elsewhere), so consumers
+        # projecting GNSS into the map frame need the pair.  The fig8
+        # evals masked this (their track starts at the world origin);
+        # the route world's 45 m constant fix offset exposed it (r5).
+        self.origin_anchor_xyz: Optional[np.ndarray] = None
         # LRU cache of loop-verification target maps (see _detect_loop)
         self._loop_target_cache: Dict = {}
         self._kf_since_opt = 0
@@ -541,9 +548,14 @@ class Mapper:
             T[:3, 3] = t
             edges.append((i, j, T, np.asarray(si[:6]) ** 2))
         origin = self.origin_lla if self.origin_lla is not None else np.zeros(3)
+        meta = {"area": []}
+        if self.origin_anchor_xyz is not None:
+            meta["origin_anchor_xyz"] = [
+                float(v) for v in np.asarray(self.origin_anchor_xyz).flat]
         return save_map(map_dir, origin, stamps, poses, clouds, edges,
                         fixed=[i for i, f in enumerate(self.graph.fixed) if f],
-                        images=[kf.images for kf in self.store.frames])
+                        images=[kf.images for kf in self.store.frames],
+                        meta=meta)
 
     def trajectory(self) -> np.ndarray:
         return np.stack([T for _, T in self.odometry]) if self.odometry else np.zeros((0, 4, 4))

@@ -26,7 +26,8 @@ CLASS_NAMES = {0: "Vehicle", 1: "Pedestrian", 2: "Cyclist"}
 
 def evaluate_weights(weights_path: str, n_batches: int = 8,
                      batch: int = 2, int8: bool = False,
-                     true_ref: bool = False) -> dict:
+                     true_ref: bool = False,
+                     distant: bool = False) -> dict:
     import numpy as np
 
     from ..models import DetectorConfig
@@ -45,6 +46,11 @@ def evaluate_weights(weights_path: str, n_batches: int = 8,
 
     scfg = SyntheticSceneConfig(realistic=True)
     scfg.xy_range = 60.0
+    if distant:
+        # distant-small-object slice (VERDICT r4 #3): every object at
+        # 30-60 m, where a pedestrian subtends a handful of 0.1 m cells
+        # — the regime the fine-pitch capacity exists for
+        scfg.min_obj_range = 30.0
     eval_batches = list(SyntheticDetectionDataset(
         scfg, batch_size=batch, seed=999).batches(n_batches))
 
@@ -67,6 +73,8 @@ def main(argv=None):
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--distant", action="store_true",
+                    help="add a distant-objects (30-60 m) eval slice")
     ap.add_argument("--true-ref-capacity", action="store_true",
                     help="score the 0.1 m-pitch (true deployed capacity) "
                          "checkpoint instead of the 0.2 m one")
@@ -96,6 +104,9 @@ def main(argv=None):
     report = dict(weights=weights,
                   fp32=evaluate_weights(weights, args.batches, args.batch,
                                         true_ref=tr))
+    if args.distant:
+        report["fp32_distant_30_60m"] = evaluate_weights(
+            weights, args.batches, args.batch, true_ref=tr, distant=True)
     if not args.skip_int8:
         report["int8_ptq"] = evaluate_weights(weights, args.batches,
                                               args.batch, int8=True,

@@ -50,9 +50,11 @@ def _ate(est_T: np.ndarray, gt_T: np.ndarray, warmup: int) -> float:
     return ate_rmse(est_T, gt_T, warmup)
 
 
-def run_tpu_lio(sim, data, warmup: int, **cfg_over):
+def run_tpu_lio(sim, data, warmup: int, wheelspeed: bool = False,
+                **cfg_over):
     """Cold-start TPU LIO over the scenario; returns (ate, ms_per_scan,
-    max_degen)."""
+    max_degen).  wheelspeed=True feeds the per-scan velocity observation
+    (ref laserMapping.cpp:794-812 h_share_model_wheelspeed)."""
     import jax
     import jax.numpy as jnp
     from ..slam import LioConfig, lio_init, lio_step
@@ -63,10 +65,17 @@ def run_tpu_lio(sim, data, warmup: int, **cfg_over):
     poses, degen = [], []
     t_used = 0.0
     n_timed = 0
+    period = 1.0 / sim.cfg.scan_hz
     for k, (P, S, M, I, IM, _T) in enumerate(data):
+        vkw = {}
+        if wheelspeed:
+            vel = sim.velocity((k + 1) * period).astype(np.float32)
+            vkw = dict(vel_obs=jnp.asarray(vel),
+                       vel_obs_valid=jnp.asarray(True))
         t0 = time.perf_counter()
         st, info = lio_step(cfg, st, jnp.asarray(P), jnp.asarray(S),
-                            jnp.asarray(M), jnp.asarray(I), jnp.asarray(IM))
+                            jnp.asarray(M), jnp.asarray(I), jnp.asarray(IM),
+                            **vkw)
         # ONE batched fetch per scan: separate fetches each cost a full
         # tunnel round trip and dominate the timing (harness artifact,
         # not step cost)
@@ -126,16 +135,23 @@ def main(argv=None):
                          "(parallel/sharded_map.py disables in-iterate "
                          "plane re-search for SPMD safety); the delta is "
                          "the accuracy cost of sharding (VERDICT r2 #4)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (accuracy rows while "
+                         "the accelerator is busy; timings then reflect "
+                         "the host)")
     args = ap.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/lsd_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    from ..utils.device import keep_session_alive
-    keep_session_alive()
+    if not args.cpu:
+        from ..utils.device import keep_session_alive
+        keep_session_alive()
 
     warmup = 27          # rest (15) + ramp (10) + filter latch (2)
     rows = []
@@ -163,6 +179,26 @@ def main(argv=None):
                          **({} if ate_nrs is None
                             else dict(tpu_ate_no_research_m=round(ate_nrs, 4)))))
         print("eval:", json.dumps(rows[-1]), flush=True)
+        if name == "tunnel":
+            # wheelspeed-enabled tunnel row (VERDICT r4 #7): the
+            # reference's wheelspeed/INS velocity observation
+            # (laserMapping.cpp:794-812) is what keeps a featureless
+            # tunnel trackable; the ref column carries its UNAIDED
+            # behavior on the same input (the exported replay has no
+            # wheelspeed channel — the reference binary diverges here)
+            print("eval: tunnel + wheelspeed: tpu lio...", flush=True)
+            ate_w, ms_w, degen_w = run_tpu_lio(sim, data, warmup,
+                                               wheelspeed=True)
+            rows.append(dict(scenario="tunnel_wheelspeed",
+                             n_scans=len(data),
+                             tpu_ate_m=round(ate_w, 4),
+                             tpu_ms=round(ms_w, 2),
+                             max_degen_dirs=degen_w,
+                             ref_ate_m=None if ref is None
+                             else round(ref[0], 4),
+                             ref_ms=None if ref is None
+                             else round(ref[1], 2)))
+            print("eval:", json.dumps(rows[-1]), flush=True)
 
     md = ["| scenario | scans | TPU ATE (m) | TPU ms/scan | degen dirs "
           "| ref ATE (m) | ref ms/scan |",

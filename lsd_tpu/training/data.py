@@ -105,6 +105,10 @@ class SyntheticSceneConfig:
     n_walls: int = 6
     n_poles: int = 12
     min_points_per_gt: int = 5    # realistic mode: drop near-invisible gts
+    # place every object at least this far from the sensor (distant-
+    # small-object eval slice: the fine-pitch model's regime, where a
+    # far pedestrian spans only a few 0.1 m cells)
+    min_obj_range: float = 0.0
 
 
 class SyntheticDetectionDataset:
@@ -142,7 +146,12 @@ class SyntheticDetectionDataset:
         for _ in range(cfg.n_boxes):
             cls = int(rng.integers(0, len(cfg.class_sizes)))
             dx, dy, dz = cfg.class_sizes[cls]
-            cx, cy = rng.uniform(-cfg.xy_range, cfg.xy_range, 2)
+            if cfg.min_obj_range > 0.0:
+                rr0 = rng.uniform(cfg.min_obj_range, cfg.xy_range)
+                th0 = rng.uniform(-np.pi, np.pi)
+                cx, cy = rr0 * np.cos(th0), rr0 * np.sin(th0)
+            else:
+                cx, cy = rng.uniform(-cfg.xy_range, cfg.xy_range, 2)
             cz = dz / 2.0
             yaw = rng.uniform(-np.pi, np.pi)
             r = float(np.hypot(cx, cy))
