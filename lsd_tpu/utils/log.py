@@ -44,6 +44,18 @@ def get_logger(name: str = "lsd_tpu", level: str = "INFO") -> logging.Logger:
         root = logging.getLogger("lsd_tpu")
         root.addHandler(h)
         root.addHandler(rh)
+        # optional on-disk log (backs the dev page's log-file browser /
+        # /v1/log-file-list, like the reference's /var/log files)
+        log_dir = os.environ.get("LSD_TPU_LOG_DIR")
+        if log_dir:
+            try:
+                os.makedirs(log_dir, exist_ok=True)
+                fh = logging.FileHandler(
+                    os.path.join(log_dir, "lsd_tpu.log"))
+                fh.setFormatter(logging.Formatter(_FMT))
+                root.addHandler(fh)
+            except OSError:
+                pass
         root.setLevel(os.environ.get("LSD_TPU_LOG_LEVEL", level))
         root.propagate = False
         _configured = True

@@ -169,6 +169,12 @@ class PerceptionServer:
         # dev page (ref web_ui components/dev: Log, BoardConfig, dump)
         r[("GET", "/v1/log")] = self._recent_log
         r[("POST", "/v1/log-level")] = self._set_log_level
+        # log files — same-origin mirrors of the :1235 upgrade-server
+        # routes (ref web_ui rpc/http-upgrade.ts:52-56 + dev/Log.jsx),
+        # so the built-in UI's dev Log view needs no cross-port fetch
+        r[("GET", "/v1/log-file-list")] = self._log_file_list
+        r[("GET", "/v1/log-content")] = self._log_content
+        r[("GET", "/v1/log-download")] = self._log_download
         r[("GET", "/v1/get-panorama")] = \
             lambda q: self._proto_bytes("calibration.get_panorama")
         r[("GET", "/v1/set-panorama-config")] = self._set_panorama_config
@@ -447,6 +453,25 @@ class PerceptionServer:
             out["freespace"]["cells_b64"] = base64.b64encode(
                 bytes(fs["cells"])).decode()
         return out
+
+    def _log_file_list(self, q: Dict) -> Dict:
+        from .upgrade import default_log_dirs, list_log_files
+        return list_log_files(default_log_dirs())
+
+    def _log_content(self, q: Dict) -> Dict:
+        from .upgrade import default_log_dirs, read_log_content
+        fn = (q or {}).get("filename", "")
+        return read_log_content(default_log_dirs(), fn)
+
+    def _log_download(self, q: Dict) -> bytes:
+        """File bytes when ?filename= names a log file; the in-memory
+        recent-log ring otherwise."""
+        from .upgrade import default_log_dirs, read_log_bytes
+        fn = (q or {}).get("filename", "")
+        if fn:
+            return read_log_bytes(default_log_dirs(), fn)
+        from ..utils.log import get_recent_logs
+        return ("\n".join(get_recent_logs(500)) + "\n").encode()
 
     def _recent_log(self, q: Dict) -> Dict:
         from ..utils.log import get_recent_logs

@@ -71,15 +71,66 @@ def parse_firmware(blob: bytes) -> Dict:
             "payload": blob[off:]}
 
 
+def default_log_dirs() -> Tuple[str, ...]:
+    """Log directories scanned by the dev-page Log view: the configured
+    LSD_TPU_LOG_DIR (where utils/log.py writes lsd_tpu.log) plus the
+    reference's system locations (web_ui rpc/http-upgrade.ts serves
+    /v1/log-file-list off the target's log dirs)."""
+    dirs = []
+    env = os.environ.get("LSD_TPU_LOG_DIR")
+    if env:
+        dirs.append(env)
+    dirs += ["/var/log", "/tmp"]
+    return tuple(dict.fromkeys(dirs))
+
+
+def list_log_files(log_dirs) -> Dict:
+    files = []
+    for d in log_dirs:
+        try:
+            for name in sorted(os.listdir(d)):
+                p = os.path.join(d, name)
+                if os.path.isfile(p) and name.endswith(".log"):
+                    files.append(p)
+        except OSError:
+            continue
+    return {"files": files}
+
+
+def _log_path_allowed(log_dirs, filename: str) -> bool:
+    return any(os.path.realpath(filename).startswith(
+        os.path.realpath(d) + os.sep) for d in log_dirs)
+
+
+def read_log_content(log_dirs, filename: str,
+                     max_bytes: int = 256 * 1024) -> Dict:
+    if not _log_path_allowed(log_dirs, filename) \
+            or not os.path.isfile(filename):
+        return {"error": "not found"}
+    with open(filename, "rb") as f:
+        f.seek(max(0, os.path.getsize(filename) - max_bytes))
+        return {"content": f.read().decode("utf-8", "replace")}
+
+
+def read_log_bytes(log_dirs, filename: str) -> bytes:
+    """Whole-file bytes for /v1/log-download (ref dev/Log.jsx downloadLog)."""
+    if not _log_path_allowed(log_dirs, filename) \
+            or not os.path.isfile(filename):
+        return b""
+    with open(filename, "rb") as f:
+        return f.read()
+
+
 class UpgradeManager:
     """Upgrade state machine; thread-safe, one upgrade at a time."""
 
     def __init__(self, staging_dir: str = "/tmp/lsd_tpu_upgrade",
-                 log_dirs: Tuple[str, ...] = ("/var/log", "/tmp"),
+                 log_dirs: Optional[Tuple[str, ...]] = None,
                  allow_power_actions: bool = False,
                  step_delay: float = 0.05):
         self.staging_dir = staging_dir
-        self.log_dirs = log_dirs
+        self.log_dirs = log_dirs if log_dirs is not None \
+            else default_log_dirs()
         self.allow_power_actions = allow_power_actions
         self.step_delay = step_delay
         self.logger = get_logger("upgrade")
@@ -149,25 +200,13 @@ class UpgradeManager:
 
     # -- logs / power ------------------------------------------------------
     def log_files(self) -> Dict:
-        files = []
-        for d in self.log_dirs:
-            try:
-                for name in sorted(os.listdir(d)):
-                    p = os.path.join(d, name)
-                    if os.path.isfile(p) and name.endswith(".log"):
-                        files.append(p)
-            except OSError:
-                continue
-        return {"files": files}
+        return list_log_files(self.log_dirs)
 
     def log_content(self, filename: str, max_bytes: int = 256 * 1024) -> Dict:
-        allowed = any(os.path.realpath(filename).startswith(
-            os.path.realpath(d) + os.sep) for d in self.log_dirs)
-        if not allowed or not os.path.isfile(filename):
-            return {"error": "not found"}
-        with open(filename, "rb") as f:
-            f.seek(max(0, os.path.getsize(filename) - max_bytes))
-            return {"content": f.read().decode("utf-8", "replace")}
+        return read_log_content(self.log_dirs, filename, max_bytes)
+
+    def log_bytes(self, filename: str) -> bytes:
+        return read_log_bytes(self.log_dirs, filename)
 
     def power_action(self, action: str) -> Dict:
         if action not in ("reboot", "poweroff"):
@@ -215,6 +254,20 @@ class UpgradeServer:
                     from urllib.parse import parse_qs
                     fn = parse_qs(query).get("filename", [""])[0]
                     return self._json(mgr.log_content(fn))
+                if path == "/v1/log-download":
+                    from urllib.parse import parse_qs
+                    fn = parse_qs(query).get("filename", [""])[0]
+                    data = mgr.log_bytes(fn)
+                    self.send_response(200 if data else 404)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Disposition",
+                                     "attachment; filename=" +
+                                     os.path.basename(fn or "lsd.log"))
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 self._json({"error": "not found"}, 404)
 
             def do_POST(self):

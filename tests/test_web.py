@@ -355,17 +355,21 @@ class TestUiStaticConsistency:
             # strings/comments can skew counts only if unbalanced overall
             assert abs(js.count(o) - js.count(c)) == 0, f"{page}: {o}{c}"
 
-    def test_index_i18n_keys_covered(self):
+    @pytest.mark.parametrize("page", ["index.html", "editor.html",
+                                      "calibration.html", "upgrade.html"])
+    def test_i18n_keys_covered(self, page):
+        """Every data-i18n key on every page resolves in the shared
+        dictionary (www/i18n.js, ref web_ui plugins/i18n-zh.js)."""
         import os
         import re
-        path = os.path.join(os.path.dirname(__file__), "..",
-                            "lsd_tpu", "web", "www", "index.html")
-        html = open(path).read()
-        js = "".join(re.findall(r"<script>(.*?)</script>", html, re.S))
-        zh = set(re.findall(r'"([^"]+)": "[^"]*"', js.split("const ZH")[1]
-                            .split("};")[0]))
-        for key in re.findall(r'data-i18n="([^"]+)"', html):
-            assert key in zh, f"data-i18n key {key} missing a zh entry"
+        www = os.path.join(os.path.dirname(__file__), "..",
+                           "lsd_tpu", "web", "www")
+        zh = set(re.findall(r'"((?:[^"\\]|\\.)+)":\s*"',
+                            open(os.path.join(www, "i18n.js")).read()))
+        html = open(os.path.join(www, page)).read()
+        assert 'src="/i18n.js"' in html, f"{page} must load the shared dict"
+        for key in re.findall(r'data-i18n(?:-title)?="([^"]+)"', html):
+            assert key in zh, f"{page}: data-i18n key {key!r} has no entry"
 
 
 @pytest.mark.slow
