@@ -150,9 +150,16 @@ class PoseGraphBuilder:
             orient=OrientPriors(J(oidx), J(oq), J(osi), J(om)),
         )
 
-    def update_from(self, data: PoseGraphData) -> None:
-        """Pull optimized node poses back into the builder."""
-        n = self.num_nodes
+    def update_from(self, data: PoseGraphData,
+                    n_nodes: Optional[int] = None) -> None:
+        """Pull optimized node poses back into the builder.
+
+        ``n_nodes`` limits the writeback to the first n nodes — the
+        caller's snapshot size when the solve ran outside the graph
+        lock and nodes were appended meanwhile (mapper.optimize_graph
+        reconciles the appended tail through the refreshed odom2map)."""
+        n = self.num_nodes if n_nodes is None else min(n_nodes,
+                                                       self.num_nodes)
         quat = np.asarray(data.nodes.quat[:n])
         pos = np.asarray(data.nodes.pos[:n])
         for i in range(n):

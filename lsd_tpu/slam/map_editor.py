@@ -190,6 +190,7 @@ class MapEditor:
         m.flush()
         with m._graph_lock:
             m._loop_target_cache.clear()     # cloud indices change
+            m._graph_struct_version += 1     # invalidate in-flight solves
             self._del_vertex_locked(int(vid))
 
     def _del_vertex_locked(self, i: int) -> None:
@@ -250,6 +251,7 @@ class MapEditor:
 
     def del_edge(self, eid) -> None:
         with self.mapper._graph_lock:
+            self.mapper._graph_struct_version += 1
             self.mapper.graph.del_se3_edge(int(eid))
 
     def set_vertex_pose(self, vid, pose) -> None:
@@ -259,6 +261,7 @@ class MapEditor:
         i = int(vid)
         T = np.asarray(pose, float).reshape(4, 4)
         with self.mapper._graph_lock:
+            self.mapper._graph_struct_version += 1
             self.mapper.graph.set_node_pose(i, T)
             self.mapper.store[i].pose = T.copy()
 
@@ -317,6 +320,7 @@ class MapEditor:
         m.flush()
         cross = find_cross_edges(m.store, other)
         with m._graph_lock:
+            m._graph_struct_version += 1
             base = len(m.store)
             for kf in other.frames:
                 kid = m.store.add(Keyframe(id=-1, stamp_us=kf.stamp_us,

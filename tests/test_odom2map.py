@@ -84,3 +84,62 @@ def test_new_keyframes_enter_graph_in_map_frame():
     # the stored pose and graph node are odom2map-composed
     assert np.allclose(m.store[kid].pose, corr @ odom_next, atol=1e-9)
     assert np.allclose(m.graph.node_pose(kid), m.store[kid].pose, atol=1e-6)
+
+
+def test_solve_runs_outside_lock_and_reconciles_appends():
+    """optimize_graph snapshots under the lock, solves unlocked, and
+    re-anchors nodes appended mid-solve through the refreshed odom2map
+    (VERDICT r4 #4: the locked solve pinned odometry during PGO bursts)."""
+    import lsd_tpu.slam.mapper as mapper_mod
+    m, n = _build_loop_graph()
+    appended = {}
+    real_optimize = mapper_mod.optimize
+
+    def optimize_with_append(data, cfg):
+        # simulate the odometry thread appending a keyframe while the
+        # solve is in flight (lock must NOT be held here: _fabricate's
+        # graph ops would deadlock if optimize_graph still held it on
+        # this same thread path... RLock hides that, so assert instead)
+        assert not appended, "optimize entered twice"
+        odom_next = _pose(2.0 * n, DRIFT * n)
+        appended["kid"] = _fabricate(m, odom_next)
+        appended["odom"] = odom_next
+        return real_optimize(data, cfg)
+
+    mapper_mod.optimize = optimize_with_append
+    try:
+        m.optimize_graph()
+    finally:
+        mapper_mod.optimize = real_optimize
+    corr = m.odom2map
+    assert not np.allclose(corr, np.eye(4), atol=1e-4)
+    kid = appended["kid"]
+    # the mid-solve keyframe was re-anchored onto the refreshed correction
+    assert np.allclose(m.store[kid].pose, corr @ appended["odom"],
+                       atol=1e-6)
+    assert np.allclose(m.graph.node_pose(kid), m.store[kid].pose,
+                       atol=1e-5)
+    # and the snapshot nodes still got the optimized writeback
+    assert abs(m.store[n - 1].pose[1, 3]) < 0.05
+
+
+def test_structural_edit_mid_solve_discards_writeback():
+    """A del-vertex style renumbering during an unlocked solve must
+    discard the stale result instead of writing poses onto shifted ids."""
+    import lsd_tpu.slam.mapper as mapper_mod
+    m, n = _build_loop_graph()
+    real_optimize = mapper_mod.optimize
+
+    def optimize_with_struct_edit(data, cfg):
+        m._graph_struct_version += 1     # what editor del_vertex does
+        return real_optimize(data, cfg)
+
+    poses_before = [m.store[i].pose.copy() for i in range(n)]
+    mapper_mod.optimize = optimize_with_struct_edit
+    try:
+        m.optimize_graph()
+    finally:
+        mapper_mod.optimize = real_optimize
+    for i in range(n):          # nothing written back, odom2map untouched
+        assert np.allclose(m.store[i].pose, poses_before[i])
+    assert np.allclose(m.odom2map, np.eye(4))
