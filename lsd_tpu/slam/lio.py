@@ -50,6 +50,16 @@ class LioConfig(NamedTuple):
     max_iters: int = 3
     meas_noise: float = 0.05         # point-to-plane sigma (m)
     vel_noise: float = 0.2           # wheelspeed/INS velocity sigma (m/s)
+    # the velocity observation competes with ds_capacity point rows; the
+    # reference scales its wheelspeed rows BY THE GEOMETRIC POINT COUNT,
+    # 10x more when degenerate (laserMapping.cpp:994-1006:
+    # weight = {1e-4, degenerate: 1e-3} * n_points on the residual, i.e.
+    # information growing with N^2).  Without this, motion-aliased scans
+    # of a featureless tunnel contribute enough FAKE along-axis
+    # information to pull the velocity estimate ~4 % low and the single
+    # fixed-weight velocity row cannot correct it (EVAL r5 tunnel row).
+    vel_obs_point_frac: float = 0.1  # info multiplier = frac * n_valid
+    vel_obs_degen_boost: float = 10.0
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
     # re-run plane association when the iterate has moved this far from the
@@ -250,9 +260,14 @@ def lio_step(cfg: LioConfig, st: LioState,
         E, n_degen = _gate_degenerate(cfg, HtH)
         HtH = E @ HtH @ E.T
         Htr = E @ Htr
-        # velocity observation (wheelspeed / INS)
-        HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw)
-        Htr = Htr.at[IDX_V].add(vw * (nav_i.vel - vel_obs))
+        # velocity observation (wheelspeed / INS), weight scaled with the
+        # competing point count and boosted under degeneracy (reference
+        # semantics, laserMapping.cpp:994-1006 — see vel_obs_point_frac)
+        vw_i = vw * jnp.maximum(
+            1.0, cfg.vel_obs_point_frac * n_pts_valid
+            * jnp.where(n_degen > 0, cfg.vel_obs_degen_boost, 1.0))
+        HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw_i)
+        Htr = Htr.at[IDX_V].add(vw_i * (nav_i.vel - vel_obs))
 
         delta = boxminus(nav_i, nav_prop)
         A = HtH + P_inv

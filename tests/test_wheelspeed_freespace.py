@@ -63,3 +63,37 @@ class TestFreespace:
         fmsg = decode_message(FREESPACE, out["freespace"])
         assert fmsg["info"]["x_num"] == W
         assert len(fmsg["cells"]) == H * W
+
+
+class TestWheelspeedTunnel:
+    @pytest.mark.slow
+    def test_tunnel_along_axis_tracked_with_wheelspeed(self):
+        """Featureless-tunnel regression (EVAL r5): motion-aliased scans
+        inject fake along-axis information that outweighed the fixed-
+        weight velocity row (~4 % velocity bias, 0.9 m drift over 12 s).
+        With the reference's count-scaled wheelspeed weighting
+        (laserMapping.cpp:994-1006), the along-axis error must stay at
+        the centimeter level."""
+        from lsd_tpu.sim import CorridorSim
+        sim = CorridorSim(SimConfig(n_scans=120, points_per_scan=4096,
+                                    point_noise=0.01, seed=7,
+                                    rest_time=1.5, ramp_time=1.0,
+                                    feature_density=0.0))
+        data = sim.generate(capacity=4096, imu_capacity=16)
+        cfg = LioConfig(ds_capacity=4096, map_capacity=2 ** 16,
+                        scan_voxel=0.4, map_voxel=0.4, max_iters=4)
+        st = lio_init(cfg)
+        period = 1.0 / sim.cfg.scan_hz
+        worst_x = 0.0
+        for k, (P_, S_, M_, I_, IM_, T_gt) in enumerate(data):
+            vel = jnp.asarray(sim.velocity((k + 1) * period),
+                              jnp.float32)
+            st, info = lio_step(cfg, st, jnp.asarray(P_),
+                                jnp.asarray(S_), jnp.asarray(M_),
+                                jnp.asarray(I_), jnp.asarray(IM_),
+                                vel_obs=vel,
+                                vel_obs_valid=jnp.asarray(True))
+            if k > 27:
+                xerr = abs(float(st.nav.pos[0]) - float(T_gt[0, 3]))
+                worst_x = max(worst_x, xerr)
+        assert worst_x < 0.15, f"tunnel x-drift {worst_x:.3f} m"
