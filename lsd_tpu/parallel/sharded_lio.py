@@ -46,7 +46,7 @@ def sharded_lio_update(cfg: LioConfig, mesh: Mesh, nav_prop: NavState,
             HtH_p, Htr_p = partial_info(nav_i, m, pts_shard, mask_shard)
             HtH = jax.lax.psum(HtH_p, axis)
             Htr = jax.lax.psum(Htr_p, axis)
-            E, _ = _gate_degenerate(cfg, HtH)
+            E, _, _ = _gate_degenerate(cfg, HtH)
             HtH = E @ HtH @ E.T
             Htr = E @ Htr
             delta = boxminus(nav_i, nav0)

@@ -157,7 +157,7 @@ def make_sharded_lio_step(cfg: LioConfig, mesh: Mesh):
             Hw = H * (w * inv_var)[:, None]
             HtH = jax.lax.psum(H.T @ Hw, axis)
             Htr = jax.lax.psum(Hw.T @ r, axis)
-            E, _ = _gate_degenerate(cfg, HtH)
+            E, _, _ = _gate_degenerate(cfg, HtH)
             HtH = E @ HtH @ E.T
             Htr = E @ Htr
             delta = boxminus(nav_i, nav_prop)

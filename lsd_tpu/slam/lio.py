@@ -51,15 +51,21 @@ class LioConfig(NamedTuple):
     meas_noise: float = 0.05         # point-to-plane sigma (m)
     vel_noise: float = 0.2           # wheelspeed/INS velocity sigma (m/s)
     # the velocity observation competes with ds_capacity point rows; the
-    # reference scales its wheelspeed rows BY THE GEOMETRIC POINT COUNT,
-    # 10x more when degenerate (laserMapping.cpp:994-1006:
-    # weight = {1e-4, degenerate: 1e-3} * n_points on the residual, i.e.
-    # information growing with N^2).  Without this, motion-aliased scans
-    # of a featureless tunnel contribute enough FAKE along-axis
-    # information to pull the velocity estimate ~4 % low and the single
-    # fixed-weight velocity row cannot correct it (EVAL r5 tunnel row).
+    # reference scales its wheelspeed rows BY THE GEOMETRIC POINT COUNT
+    # when its degeneracy detector fires (laserMapping.cpp:994-1006:
+    # residual weight {1e-4, degenerate: 1e-3} * n_points).  Without
+    # this, motion-aliased scans of a featureless tunnel contribute
+    # enough FAKE along-axis information to pull the velocity estimate
+    # ~4 % low and the fixed-weight velocity row cannot correct it
+    # (EVAL r5 tunnel row).  The boost is gated on RELATIVE degeneracy
+    # (n_weak: an axis far weaker than the strongest one) — the fake
+    # tunnel info sits above the absolute gate but orders of magnitude
+    # below the constrained axes.  Boosting unconditionally is wrong
+    # the other way: it lets noisy INS velocity drag nominal odometry
+    # (CPU campaign A odom ATE 0.0053 -> 0.0865 m when this scaled
+    # always-on).
     vel_obs_point_frac: float = 0.1  # info multiplier = frac * n_valid
-    vel_obs_degen_boost: float = 10.0
+    degen_rel_frac: float = 1e-3     # n_weak: lam < frac * lam_max
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
     # re-run plane association when the iterate has moved this far from the
@@ -177,14 +183,22 @@ def _measurement_system(cfg: LioConfig, nav: NavState, pts_l: jax.Array,
 
 def _gate_degenerate(cfg: LioConfig, HtH: jax.Array):
     """Projection removing measurement influence along degenerate pose
-    directions (eigenvalues of the 6x6 pose block below threshold)."""
+    directions (eigenvalues of the 6x6 pose block below threshold).
+
+    Also returns n_weak, a RELATIVE degeneracy count: directions whose
+    eigenvalue is a small fraction of the strongest direction's.  A
+    motion-aliased sweep of a featureless tunnel contributes fake
+    along-axis information well above the absolute threshold (so
+    n_degenerate misses it) yet orders of magnitude below the
+    constrained axes — the signature the wheelspeed boost keys on."""
     A = HtH[0:6, 0:6]
     lam, V = jnp.linalg.eigh(A)
     keep = (lam >= cfg.degen_thresh).astype(A.dtype)
     Pi = (V * keep[None, :]) @ V.T
     E = jnp.eye(ERR_DIM, dtype=A.dtype).at[0:6, 0:6].set(Pi)
     n_degenerate = jnp.sum(1.0 - keep).astype(jnp.int32)
-    return E, n_degenerate
+    n_weak = jnp.sum(lam < cfg.degen_rel_frac * lam[-1]).astype(jnp.int32)
+    return E, n_degenerate, n_weak
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -257,15 +271,16 @@ def lio_step(cfg: LioConfig, st: LioState,
             Htr = Hw.T @ r
             n_pts_valid = jnp.sum(w)
             sum_abs_r = jnp.sum(jnp.abs(r) * w)
-        E, n_degen = _gate_degenerate(cfg, HtH)
+        E, n_degen, n_weak = _gate_degenerate(cfg, HtH)
         HtH = E @ HtH @ E.T
         Htr = E @ Htr
-        # velocity observation (wheelspeed / INS), weight scaled with the
-        # competing point count and boosted under degeneracy (reference
+        # velocity observation (wheelspeed / INS): fixed weight when the
+        # geometry is well-conditioned; scaled with the competing point
+        # count when any pose axis is RELATIVELY degenerate (reference
         # semantics, laserMapping.cpp:994-1006 — see vel_obs_point_frac)
-        vw_i = vw * jnp.maximum(
-            1.0, cfg.vel_obs_point_frac * n_pts_valid
-            * jnp.where(n_degen > 0, cfg.vel_obs_degen_boost, 1.0))
+        vw_i = vw * jnp.where(
+            (n_degen > 0) | (n_weak > 0),
+            jnp.maximum(1.0, cfg.vel_obs_point_frac * n_pts_valid), 1.0)
         HtH = HtH.at[IDX_V, IDX_V].add(jnp.eye(3) * vw_i)
         Htr = Htr.at[IDX_V].add(vw_i * (nav_i.vel - vel_obs))
 
@@ -274,11 +289,12 @@ def lio_step(cfg: LioConfig, st: LioState,
         b = Htr + P_inv @ delta
         dx = -jnp.linalg.solve(A, b) * upd_mask
         stats = jnp.stack([n_pts_valid, sum_abs_r,
-                           n_degen.astype(jnp.float32)])
+                           n_degen.astype(jnp.float32),
+                           n_weak.astype(jnp.float32)])
         return boxplus(nav_i, dx), HtH, stats, planes, anchor
 
     carry0 = (nav_prop, jnp.zeros((ERR_DIM, ERR_DIM), ds_pts.dtype),
-              jnp.zeros(3, ds_pts.dtype), planes,
+              jnp.zeros(4, ds_pts.dtype), planes,
               (nav_prop.pos, nav_prop.quat))
     nav_new, HtH_last, stats, _, _ = jax.lax.fori_loop(
         0, cfg.max_iters, iterate, carry0)
@@ -317,6 +333,7 @@ def lio_step(cfg: LioConfig, st: LioState,
         num_points=jnp.sum(ds_mask.astype(jnp.int32)),
         mean_residual=stats[1] / jnp.maximum(stats[0], 1.0),
         n_degenerate=stats[2].astype(jnp.int32),
+        n_weak=stats[3].astype(jnp.int32),
         pose=nav_new.pose_matrix(),
         # motion-compensated scan in the scan-end lidar frame: keyframe
         # clouds MUST store this, not the raw sweep — at 5 m/s a 0.1 s

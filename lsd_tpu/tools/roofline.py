@@ -221,7 +221,7 @@ def profile_lio_phases(cfg, st, P, S, M, I, IM, n_rep: int = 30) -> Dict[str, fl
         Hw = H_ * (w * inv_var)[:, None]
         HtH = H_.T @ Hw
         Htr = Hw.T @ r
-        E, nd = L._gate_degenerate(cfg, HtH)
+        E, nd, _ = L._gate_degenerate(cfg, HtH)
         return E @ HtH @ E.T, E @ Htr, nd
 
     @jax.jit
