@@ -65,7 +65,9 @@ class LioConfig(NamedTuple):
     # (CPU campaign A odom ATE 0.0053 -> 0.0865 m when this scaled
     # always-on).
     vel_obs_point_frac: float = 0.1  # info multiplier = frac * n_valid
-    degen_rel_frac: float = 1e-3     # n_weak: lam < frac * lam_max
+    degen_rel_frac: float = 0.05     # n_weak: lam_t < frac * lam_t_max
+                                     # (translation block; tunnel 5e-3,
+                                     # nominal worlds >= 0.16 measured)
     plane_thresh: float = 0.1        # plane inlier threshold (esti_plane)
     max_resid: float = 1.0           # residual gate (m)
     # re-run plane association when the iterate has moved this far from the
@@ -185,19 +187,26 @@ def _gate_degenerate(cfg: LioConfig, HtH: jax.Array):
     """Projection removing measurement influence along degenerate pose
     directions (eigenvalues of the 6x6 pose block below threshold).
 
-    Also returns n_weak, a RELATIVE degeneracy count: directions whose
-    eigenvalue is a small fraction of the strongest direction's.  A
-    motion-aliased sweep of a featureless tunnel contributes fake
-    along-axis information well above the absolute threshold (so
-    n_degenerate misses it) yet orders of magnitude below the
-    constrained axes — the signature the wheelspeed boost keys on."""
+    Also returns n_weak, a RELATIVE degeneracy count over the
+    TRANSLATION block only: a motion-aliased sweep of a featureless
+    tunnel contributes fake along-axis information well above the
+    absolute threshold (so n_degenerate misses it) yet ~2 orders of
+    magnitude below the constrained translation axes (measured: tunnel
+    min/max 5e-3 vs nominal-world 0.16) — the signature the wheelspeed
+    boost keys on.  The test must stay WITHIN the translation block:
+    rotation eigenvalues carry different units (lever-arm^2 factors,
+    naturally ~1e3 x smaller than translation's), so a full-6x6
+    min/max ratio fires on every well-conditioned scan (this dragged
+    the campaign's odometry when the boost keyed on it)."""
     A = HtH[0:6, 0:6]
     lam, V = jnp.linalg.eigh(A)
     keep = (lam >= cfg.degen_thresh).astype(A.dtype)
     Pi = (V * keep[None, :]) @ V.T
     E = jnp.eye(ERR_DIM, dtype=A.dtype).at[0:6, 0:6].set(Pi)
     n_degenerate = jnp.sum(1.0 - keep).astype(jnp.int32)
-    n_weak = jnp.sum(lam < cfg.degen_rel_frac * lam[-1]).astype(jnp.int32)
+    lam_t = jnp.linalg.eigvalsh(A[3:6, 3:6])
+    n_weak = jnp.sum(lam_t < cfg.degen_rel_frac * lam_t[-1]).astype(
+        jnp.int32)
     return E, n_degenerate, n_weak
 
 
