@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     ap.add_argument("--outer-iters", type=int, default=8,
                     help="campaign merge GN rounds (projection)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--maps", nargs=2, default=None, metavar=("A", "B"),
+                    help="time the REAL campaign merge graph (two saved "
+                         "map dirs, joint graph via slam.map_merge) "
+                         "instead of the synthetic stand-in")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -102,7 +106,13 @@ def main(argv=None) -> int:
     # axon timing integrity: enter synchronous-dispatch mode first
     jax.device_get(jnp.zeros(1))
 
-    builder = build_merge_shaped_graph(args.nodes, args.loops, args.gps)
+    if args.maps:
+        from ..slam.map_merge import merge_maps
+        builder = merge_maps(args.maps[0], args.maps[1],
+                             out_dir=None)["builder"]
+    else:
+        builder = build_merge_shaped_graph(args.nodes, args.loops,
+                                           args.gps)
     graph = builder.to_data()
     n = graph.nodes.quat.shape[0]
     plan = build_plan(graph, args.ndev)
