@@ -142,6 +142,41 @@ def _consensus_filter(store_a: KeyframeStore, store_b: KeyframeStore,
     return [edges[m] for m in best]
 
 
+def _gnss_expected_alignment(da: Dict, db_: Dict) -> Optional[np.ndarray]:
+    """Expected B->A frame transform implied by the maps' OWN GNSS
+    anchoring (origin lat/lon + the persisted origin_anchor_xyz), or
+    None when either map is not GNSS-anchored.
+
+    Both sessions of a GNSS campaign are mapped against the same datum:
+    a map point p is anchored as p = ENU_wrt_own_origin + anchor, so
+    B's pose in A's frame is p - anchor_b + d + anchor_a with d the
+    UTM offset between the two origin fixes.  Frames are ENU-aligned
+    (INS heading), so the rotation is identity.  The r5 TPU campaign
+    showed why this must drive the merge: re-anchoring B rigidly on the
+    single best ScanContext/ICP cross edge discarded this cm-grade
+    absolute information and one aliased match warped B by 4.7 m while
+    both input maps sat at <6 cm absolute error."""
+    oa, ob = da.get("origin"), db_.get("origin")
+    if oa is None or ob is None:
+        return None
+    oa, ob = np.asarray(oa, float).ravel(), np.asarray(ob, float).ravel()
+    if len(oa) < 2 or len(ob) < 2 or not (np.any(oa[:2]) and np.any(ob[:2])):
+        return None
+    from ..geometry.utm import UTMProjector
+    proj = UTMProjector()
+    proj.project(oa[0], oa[1])                      # anchor at A's origin
+    dx, dy = proj.project(ob[0], ob[1])
+    dz = (ob[2] - oa[2]) if (len(oa) > 2 and len(ob) > 2) else 0.0
+    anchor_a = np.asarray((da.get("meta") or {}).get(
+        "origin_anchor_xyz", [0.0, 0.0, 0.0]), float)
+    anchor_b = np.asarray((db_.get("meta") or {}).get(
+        "origin_anchor_xyz", [0.0, 0.0, 0.0]), float)
+    T = np.eye(4)
+    T[:3, 3] = anchor_a + np.asarray([float(dx), float(dy), float(dz)]) \
+        - anchor_b
+    return T
+
+
 def merge_maps(map_a_dir: str, map_b_dir: str,
                out_dir: Optional[str] = None,
                pgo_cfg: PgoConfig = PgoConfig(outer_iters=8, cg_iters=80),
@@ -152,12 +187,30 @@ def merge_maps(map_a_dir: str, map_b_dir: str,
     da, db_ = load_map(map_a_dir), load_map(map_b_dir)
     store_a, store_b = _store_from(da), _store_from(db_)
 
+    T_exp = _gnss_expected_alignment(da, db_)
     cross = find_cross_edges(store_a, store_b)
-    if not cross and init_hint is None:
+    if T_exp is not None:
+        # gate cross edges against the GNSS-implied alignment: an edge
+        # whose implied placement contradicts both maps' world frames by
+        # meters is an appearance alias, however good its ICP fitness
+        kept = []
+        for (i, j, T_rel, *rest) in cross:
+            Tal = store_a.frames[i].pose @ T_rel \
+                @ np.linalg.inv(store_b.frames[j].pose)
+            d = np.linalg.inv(T_exp) @ Tal
+            ang = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+            if np.linalg.norm(d[:3, 3]) < 2.0 and ang < 0.2:
+                kept.append((i, j, T_rel, *rest))
+        cross = kept
+    if not cross and T_exp is None and init_hint is None:
         raise RuntimeError("no cross-session matches found; supply init_hint")
 
-    # rigid pre-alignment of B into A's frame from the best cross pair
-    if cross:
+    # rigid pre-alignment of B into A's frame: the GNSS-implied transform
+    # when both maps are anchored (cross edges then only REFINE inside the
+    # joint optimization), else the best cross pair / caller hint
+    if T_exp is not None:
+        T_align = T_exp
+    elif cross:
         i, j, T_rel = cross[0][:3]
         T_align = store_a.frames[i].pose @ T_rel @ np.linalg.inv(store_b.frames[j].pose)
     else:
@@ -183,6 +236,15 @@ def merge_maps(map_a_dir: str, map_b_dir: str,
         info6 = rest[0] if rest else np.full(6, 200.0)
         b.add_se3_edge(i, na + j, T_rel, rot_info=info6[:3],
                        trans_info=info6[3:])
+    if T_exp is not None:
+        # both sessions were GNSS-mapped: their saved poses carry
+        # cm-grade absolute placement.  Weak (sigma ~0.5 m) world-frame
+        # priors keep the joint solve from warping either chain onto an
+        # imperfect cross edge while still letting edges refine locally
+        # (the chi2 gate in the solver drops any prior the geometry
+        # genuinely contradicts).
+        for k, kf in enumerate(store_a.frames + store_b.frames):
+            b.add_gps_prior(k, kf.pose[:3, 3], info=4.0)
 
     g, info = optimize(b.to_data(), pgo_cfg)
     b.update_from(g)

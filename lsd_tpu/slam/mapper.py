@@ -36,6 +36,18 @@ from .registration import icp_point_to_plane
 from .scancontext import make_descriptor, sc_db_add, sc_db_create, sc_query
 
 
+def _kf_downsample(pts_und, mask, voxel: float, cap: int):
+    """Keyframe-cloud downsample ON DEVICE from the still-resident
+    undistorted scan.  Dispatched right after lio_step in the pipelined
+    flow: the old path device_get the full 16k-pt cloud, re-uploaded it
+    and fetched the downsample back — two extra tunnel round trips plus
+    ~0.5 MB of transfers PER KEYFRAME, ~8 ms/scan amortized at campaign
+    keyframe rate."""
+    pts4 = jnp.concatenate(
+        [pts_und, jnp.zeros((pts_und.shape[0], 1), pts_und.dtype)], axis=1)
+    return voxel_downsample(pts4, mask, voxel, cap)
+
+
 @dataclasses.dataclass
 class MapperConfig:
     lio: LioConfig = dataclasses.field(default_factory=LioConfig)
@@ -184,8 +196,21 @@ class Mapper:
             jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
             None if vel_obs is None else jnp.asarray(vel_obs),
             None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
+        # keyframe material dispatched NOW while the undistorted scan is
+        # still device-resident: the 0.25 m keyframe cloud and the
+        # ScanContext descriptor.  Only a keyframe ever fetches the
+        # (small) downsampled cloud; the descriptor handle goes to the
+        # graph worker as-is, so keyframes no longer round-trip the full
+        # scan through the host or re-dispatch the descriptor against
+        # loop-burst device traffic.
+        dmask = jnp.asarray(mask)
+        kf_cloud = _kf_downsample(info["points_und"], dmask,
+                                  cfg.keyframe_cloud_voxel,
+                                  cfg.keyframe_cloud_cap)
+        kf_desc = make_descriptor(info["points_und"], dmask)
         job = dict(stamp_us=stamp_us, info=info, mask=mask,
                    n_imu=int(np.asarray(imu_mask).sum()),
+                   kf_cloud=kf_cloud, kf_desc=kf_desc,
                    gps_xyz=gps_xyz, gps_info=gps_info, images=images,
                    orient_quat=orient_quat)
         if not cfg.async_fetch:
@@ -228,13 +253,17 @@ class Mapper:
         if is_kf:
             # keyframe cloud = UNDISTORTED scan (scan-end lidar frame,
             # matching the scan-end keyframe pose); the raw sweep skews
-            # by v * sweep_time and biases loop ICP + saved maps
-            pts_kf = np.asarray(info["points_und"])
-            loop = self._add_keyframe(pts_kf, mask, odom_pose, stamp_us,
+            # by v * sweep_time and biases loop ICP + saved maps.
+            # Downsample + descriptor were dispatched at scan time
+            # (process_scan) — one small fetch here, nothing re-uploaded.
+            ds_h, dm_h = _jax.device_get(job["kf_cloud"])
+            cloud = np.asarray(ds_h)[np.asarray(dm_h)]
+            loop = self._add_keyframe(None, mask, odom_pose, stamp_us,
                                       job["gps_xyz"],
                                       gps_info=job["gps_info"],
                                       images=job["images"],
-                                      orient_quat=job["orient_quat"])
+                                      orient_quat=job["orient_quat"],
+                                      cloud=cloud, desc=job["kf_desc"])
         # publish in the map frame: graph corrections (loop closures, GPS)
         # snap the live pose, not just the stored keyframes
         pose = self.odom2map @ odom_pose
@@ -253,16 +282,24 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _add_keyframe(self, points, mask, odom_pose, stamp_us, gps_xyz,
-                      gps_info=None, images=None, orient_quat=None):
+                      gps_info=None, images=None, orient_quat=None,
+                      cloud=None, desc=None):
+        """``cloud``/``desc``: pre-computed keyframe material from the
+        pipelined device dispatch (process_scan).  Callers without it
+        (RTKM) pass raw ``points`` and pay the downsample round trip."""
         cfg = self.cfg
-        pts4 = np.asarray(points, np.float32)
-        if pts4.shape[1] == 3:
-            pts4 = np.concatenate([pts4, np.zeros((len(pts4), 1), np.float32)], 1)
-        ds, ds_mask = voxel_downsample(jnp.asarray(pts4), jnp.asarray(mask),
-                                       cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
         import jax as _jax
-        ds_h, dm_h = _jax.device_get((ds, ds_mask))   # one round trip
-        cloud = np.asarray(ds_h)[np.asarray(dm_h)]
+        pts4 = None
+        if cloud is None:
+            pts4 = np.asarray(points, np.float32)
+            if pts4.shape[1] == 3:
+                pts4 = np.concatenate(
+                    [pts4, np.zeros((len(pts4), 1), np.float32)], 1)
+            ds, ds_mask = voxel_downsample(
+                jnp.asarray(pts4), jnp.asarray(mask),
+                cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
+            ds_h, dm_h = _jax.device_get((ds, ds_mask))   # one round trip
+            cloud = np.asarray(ds_h)[np.asarray(dm_h)]
 
         # node enters the graph in the map frame so it is consistent with
         # already-optimized neighbours (ref hdl_graph_slam flush_keyframe_queue
@@ -302,7 +339,7 @@ class Mapper:
             # stays full past a short timeout, drop the OLDEST pending job
             # (its keyframe keeps node + odometry edge; only its
             # descriptor/loop chance is lost) and coalesce in the new one.
-            job = (kid, pts4, np.asarray(mask))
+            job = (kid, desc, pts4, np.asarray(mask))
             try:
                 self._worker_q.put(job, timeout=2.0)
             except _queue.Full:
@@ -319,14 +356,18 @@ class Mapper:
                     self.loop_stats["dropped_jobs"] = \
                         self.loop_stats.get("dropped_jobs", 0) + 1
             return None
-        return self._kf_graph_work(kid, pts4, mask)
+        return self._kf_graph_work(kid, desc, pts4, mask)
 
     # ------------------------------------------------------------------
-    def _kf_graph_work(self, kid, pts4, mask):
-        """Descriptor + loop detection + periodic PGO for one keyframe
-        (worker thread under async_graph, inline otherwise)."""
+    def _kf_graph_work(self, kid, desc, pts4, mask):
+        """Loop detection + periodic PGO for one keyframe (worker thread
+        under async_graph, inline otherwise).  ``desc`` is the device-
+        resident ScanContext descriptor dispatched at scan time; when
+        absent (RTKM path) it is computed here from the raw points."""
         cfg = self.cfg
-        desc = make_descriptor(jnp.asarray(pts4[:, :3]), jnp.asarray(mask))
+        if desc is None:
+            desc = make_descriptor(jnp.asarray(pts4[:, :3]),
+                                   jnp.asarray(mask))
         loop = self._detect_loop(kid, desc)
         self.sc_db = sc_db_add(self.sc_db, desc)
         self.sc_ids.append(kid)
