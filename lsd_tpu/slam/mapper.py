@@ -16,11 +16,13 @@ jitted JAX call:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue as _queue
 import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geometry import so3
@@ -38,14 +40,34 @@ from .scancontext import make_descriptor, sc_db_add, sc_db_create, sc_query
 
 def _kf_downsample(pts_und, mask, voxel: float, cap: int):
     """Keyframe-cloud downsample ON DEVICE from the still-resident
-    undistorted scan.  Dispatched right after lio_step in the pipelined
-    flow: the old path device_get the full 16k-pt cloud, re-uploaded it
-    and fetched the downsample back — two extra tunnel round trips plus
-    ~0.5 MB of transfers PER KEYFRAME, ~8 ms/scan amortized at campaign
-    keyframe rate."""
+    undistorted scan (see _scan_step)."""
     pts4 = jnp.concatenate(
         [pts_und, jnp.zeros((pts_und.shape[0], 1), pts_und.dtype)], axis=1)
     return voxel_downsample(pts4, mask, voxel, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kf_voxel", "kf_cap"))
+def _scan_step(cfg, st, points, stamps, mask, imu, imu_mask,
+               vel_obs, vel_obs_valid, kf_voxel: float, kf_cap: int):
+    """LIO step + keyframe material as ONE XLA program.
+
+    The keyframe cloud (0.25 m downsample of the undistorted scan) and
+    the ScanContext descriptor are computed in the same dispatch as the
+    scan step.  Shape history (campaign session A wall rate):
+      r4: keyframes device_get the full 16k-pt cloud, re-uploaded it for
+          the downsample and fetched it back — 2 extra tunnel RTTs +
+          ~0.5 MB per keyframe (9.0 scans/s);
+      first r5 attempt: separate downsample/descriptor dispatches per
+          scan — saved the keyframe RTTs but paid 2 extra dispatch
+          latencies EVERY scan on the tunneled chip (8.0 scans/s);
+      now: zero extra dispatches, zero re-uploads; a keyframe fetches
+          only the small downsampled cloud, and the descriptor handle
+          goes to the graph worker as-is."""
+    st2, info = lio_step(cfg, st, points, stamps, mask, imu, imu_mask,
+                         vel_obs, vel_obs_valid)
+    kf_cloud = _kf_downsample(info["points_und"], mask, kf_voxel, kf_cap)
+    kf_desc = make_descriptor(info["points_und"], mask)
+    return st2, info, kf_cloud, kf_desc
 
 
 @dataclasses.dataclass
@@ -191,23 +213,17 @@ class Mapper:
         ``live_pose`` — the IMU-extrapolated pose at THIS scan's stamp —
         and the very first call returns pose=None."""
         cfg = self.cfg
-        self.lio_state, info = lio_step(
+        # one dispatch: LIO step + keyframe cloud + descriptor (see
+        # _scan_step for why this MUST be a single program on a
+        # tunneled device)
+        self.lio_state, info, kf_cloud, kf_desc = _scan_step(
             cfg.lio, self.lio_state, jnp.asarray(points), jnp.asarray(stamps),
             jnp.asarray(mask), jnp.asarray(imu), jnp.asarray(imu_mask),
-            None if vel_obs is None else jnp.asarray(vel_obs),
-            None if vel_obs_valid is None else jnp.asarray(vel_obs_valid))
-        # keyframe material dispatched NOW while the undistorted scan is
-        # still device-resident: the 0.25 m keyframe cloud and the
-        # ScanContext descriptor.  Only a keyframe ever fetches the
-        # (small) downsampled cloud; the descriptor handle goes to the
-        # graph worker as-is, so keyframes no longer round-trip the full
-        # scan through the host or re-dispatch the descriptor against
-        # loop-burst device traffic.
-        dmask = jnp.asarray(mask)
-        kf_cloud = _kf_downsample(info["points_und"], dmask,
-                                  cfg.keyframe_cloud_voxel,
-                                  cfg.keyframe_cloud_cap)
-        kf_desc = make_descriptor(info["points_und"], dmask)
+            (jnp.zeros(3, jnp.float32) if vel_obs is None
+             else jnp.asarray(vel_obs)),
+            (jnp.asarray(False) if vel_obs_valid is None
+             else jnp.asarray(vel_obs_valid)),
+            cfg.keyframe_cloud_voxel, cfg.keyframe_cloud_cap)
         job = dict(stamp_us=stamp_us, info=info, mask=mask,
                    n_imu=int(np.asarray(imu_mask).sum()),
                    kf_cloud=kf_cloud, kf_desc=kf_desc,

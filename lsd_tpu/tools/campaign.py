@@ -185,22 +185,19 @@ def run_session(rec: Dict, map_dir: str, sim, name: str,
     # lio_step/voxel_downsample are pure — warming them does not touch
     # the engine's state.
     from ..ops import voxel_downsample
-    from ..slam.lio import lio_step as _lio_step
+    from ..slam.mapper import _scan_step
     cap = int(sim.cfg.points_per_scan)
     from ..io.frame import IMU_CAPACITY
-    _st_w, _ = _lio_step(
-        eng.cfg.lio, eng.lio_state,
-        jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), jnp.float32),
-        jnp.zeros((cap,), bool), jnp.zeros((IMU_CAPACITY, 7), jnp.float32),
-        jnp.zeros((IMU_CAPACITY,), bool))
-    # the wheelspeed-observation variant is a distinct trace (vel_obs
-    # non-None); GPS-carrying frames hit it from the first accepted fix
-    _st_w2, _ = _lio_step(
+    # _scan_step is THE per-scan program (lio + keyframe cloud +
+    # descriptor in one dispatch); vel_obs is always passed as arrays so
+    # there is exactly one trace to warm
+    _st_w, _, _kc, _kd = _scan_step(
         eng.cfg.lio, eng.lio_state,
         jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), jnp.float32),
         jnp.zeros((cap,), bool), jnp.zeros((IMU_CAPACITY, 7), jnp.float32),
         jnp.zeros((IMU_CAPACITY,), bool),
-        jnp.zeros(3, jnp.float32), jnp.asarray(True))
+        jnp.zeros(3, jnp.float32), jnp.asarray(False),
+        eng.cfg.keyframe_cloud_voxel, eng.cfg.keyframe_cloud_cap)
     _ds, _dm = voxel_downsample(
         jnp.zeros((cap, 4), jnp.float32), jnp.zeros((cap,), bool),
         eng.cfg.keyframe_cloud_voxel, eng.cfg.keyframe_cloud_cap)
